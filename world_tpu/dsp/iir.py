@@ -1,0 +1,196 @@
+"""IIR filtering as parallel linear recurrences (associative scan).
+
+The reference runs its recursive filters as per-sample Python/numba loops
+(hand-rolled decimator /root/reference/world/dio.py:359-476, cheby1 filtfilt
+/root/reference/world/harvest.py:584-609, zero-phase biquad SmoothF0
+/root/reference/world/harvest.py:533-559).  A per-sample loop is the worst
+possible TPU program; instead every IIR here is expressed as the linear
+state recurrence  s_t = A s_{t-1} + B x_t  and evaluated with
+``lax.associative_scan`` — O(n) work at O(log n) depth, fully on-device,
+bit-for-bit the same recurrence.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _compose(left, right):
+    a1, b1 = left
+    a2, b2 = right
+    return (
+        jnp.einsum("...ij,...jk->...ik", a2, a1),
+        jnp.einsum("...ij,...j->...i", a2, b1) + b2,
+    )
+
+
+def linear_recurrence(A, bx, s0=None):
+    """Evaluate s_t = A @ s_{t-1} + bx[t] for t=0..n-1; returns all s_t.
+
+    A: (k, k) constant matrix; bx: (..., n, k) forcing terms (scan along -2).
+    s0: optional (..., k) initial state (defaults to zeros).
+    """
+    bx = jnp.asarray(bx)
+    n, k = bx.shape[-2], bx.shape[-1]
+    A_b = jnp.broadcast_to(A, bx.shape[:-2] + (n, k, k))
+    Afull, bfull = lax.associative_scan(_compose, (A_b, bx), axis=bx.ndim - 2)
+    if s0 is not None:
+        bfull = bfull + jnp.einsum("...ij,...j->...i", Afull, s0)
+    return bfull
+
+
+def lfilter_coeffs_state_space(b, a):
+    """Direct-form-II-transposed state space (A, B, b0) for lfilter(b, a).
+
+    y_t = b0 x_t + s_{t-1}[0];  s_t = A s_{t-1} + B x_t.
+    b, a are host-side numpy arrays (a[0] == 1), static per filter design.
+    """
+    b = np.asarray(b, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    assert abs(a[0] - 1.0) < 1e-12
+    k = max(len(a), len(b)) - 1
+    bp = np.zeros(k + 1)
+    bp[: len(b)] = b
+    ap = np.zeros(k + 1)
+    ap[: len(a)] = a
+    A = np.zeros((k, k))
+    B = np.zeros(k)
+    for i in range(k):
+        if i + 1 < k:
+            A[i, i + 1] = 1.0
+        A[i, 0] -= ap[i + 1]
+        B[i] = bp[i + 1] - ap[i + 1] * bp[0]
+    return A, B, bp[0]
+
+
+def lfilter(b, a, x, zi=None):
+    """scipy.signal.lfilter equivalent via associative scan.
+
+    b, a: static (host) coefficient arrays.  x: (..., n).  zi: optional
+    initial state (..., k) in DF2T convention (same as scipy's zi).
+    """
+    A, B, b0 = lfilter_coeffs_state_space(b, a)
+    x = jnp.asarray(x)
+    A_j = jnp.asarray(A, dtype=x.dtype)
+    B_j = jnp.asarray(B, dtype=x.dtype)
+    bx = x[..., None] * B_j
+    s = linear_recurrence(A_j, bx, s0=zi)
+    # y_t = b0 x_t + s_{t-1}[0]
+    s_prev0 = jnp.concatenate(
+        [jnp.zeros_like(s[..., :1, 0]) if zi is None else jnp.asarray(zi)[..., None, 0],
+         s[..., :-1, 0]], axis=-1)
+    return b0 * x + s_prev0
+
+
+def filtfilt(b, a, x, padlen):
+    """scipy.signal.filtfilt(method='pad', padtype='odd') equivalent.
+
+    Matches the reference decimator (/root/reference/world/harvest.py:599-603)
+    which calls filtfilt with an explicit padlen.
+    """
+    from scipy import signal as _ss
+
+    zi_np = _ss.lfilter_zi(np.asarray(b, dtype=np.float64), np.asarray(a, dtype=np.float64))
+    x = jnp.asarray(x)
+    zi = jnp.asarray(zi_np, dtype=x.dtype)
+    # odd extension
+    left = 2 * x[..., :1] - x[..., 1 : padlen + 1][..., ::-1]
+    right = 2 * x[..., -1:] - x[..., -padlen - 1 : -1][..., ::-1]
+    ext = jnp.concatenate([left, x, right], axis=-1)
+    y = lfilter(b, a, ext, zi=zi * ext[..., :1])
+    y = y[..., ::-1]
+    y = lfilter(b, a, y, zi=zi * y[..., :1])
+    y = y[..., ::-1]
+    return y[..., padlen:-padlen]
+
+
+@functools.lru_cache(maxsize=None)
+def cheby1_sos(order: int, rp: float, wn: float):
+    from scipy import signal as _ss
+
+    bb, aa = _ss.cheby1(order, rp, wn)
+    return tuple(bb.tolist()), tuple(aa.tolist())
+
+
+def decimate_matlab(x, q: int, order: int = 3):
+    """MATLAB-style decimate used by harvest/dio's downsampler.
+
+    cheby1(order, 0.05, 0.8/q) filtfilt (padlen 3*(ntaps-1)) then MATLAB
+    phase-aligned downsampling (/root/reference/world/harvest.py:584-609).
+    The returned length follows the MATLAB convention.
+    """
+    b, a = cheby1_sos(order, 0.05, 0.8 / q)
+    padlen = 3 * (max(len(a), len(b)) - 1)
+    y = filtfilt(b, a, x, padlen)
+    nd = y.shape[-1]
+    n_out = int(np.ceil(nd / q))
+    n_beg = int(q - (q * n_out - nd))
+    return y[..., n_beg - 1 :: q]
+
+
+# ---------------------------------------------------------------------------
+# The hand-rolled zero-phase decimation filter of dio
+# (/root/reference/world/dio.py:359-476): a fixed-coefficient 3rd-order
+# recursive low-pass run forward+backward twice over a reflect-padded signal.
+# ---------------------------------------------------------------------------
+
+_DECIMATE_COEFFS = {
+    11: ((2.450743295230728, -2.06794904601978, 0.59574774438332101),
+         (0.0026822508007163792, 0.0080467524021491377)),
+    12: ((2.4981398605924205, -2.1368928194784025, 0.62187513816221485),
+         (0.0021097275904709001, 0.0063291827714127002)),
+    10: ((2.3936475118069387, -1.9873904075111861, 0.5658879979027055),
+         (0.0034818622251927556, 0.010445586675578267)),
+    9: ((2.3236003491759578, -1.8921545617463598, 0.53148928133729068),
+        (0.0046331164041389372, 0.013899349212416812)),
+    8: ((2.2357462340187593, -1.7780899984041358, 0.49152555365968692),
+        (0.0063522763407111993, 0.019056829022133598)),
+    7: ((2.1225239019534703, -1.6395144861046302, 0.44469707800587366),
+        (0.0090366882681608418, 0.027110064804482525)),
+    6: ((1.9715352749512141, -1.4686795689225347, 0.3893908434965701),
+        (0.013469181309343825, 0.040407543928031475)),
+    5: ((1.7610939654280557, -1.2554914843859768, 0.3237186507788215),
+        (0.021334858522387423, 0.06400457556716227)),
+    4: ((1.4499664446880227, -0.98943497080950582, 0.24578252340690215),
+        (0.036710750339322612, 0.11013225101796784)),
+    3: ((0.95039378983237421, -0.67429146741526791, 0.15412211621346475),
+        (0.071221945171178636, 0.21366583551353591)),
+    2: ((0.041156734567757189, -0.42599112459189636, 0.041037215479961225),
+        (0.16797464681802227, 0.50392394045406674)),
+}
+
+
+def _filter_for_decimate(x, r: int):
+    """One forward pass of the WORLD decimation filter (dio.py:359-446).
+
+    Recurrence: w_t = x_t + a0 w_{t-1} + a1 w_{t-2} + a2 w_{t-3};
+                y_t = b0 w_t + b1 w_{t-1} + b1 w_{t-2} + b0 w_{t-3}.
+    """
+    a, b = _DECIMATE_COEFFS.get(r, ((0.0, 0.0, 0.0), (0.0, 0.0)))
+    x = jnp.asarray(x)
+    A = jnp.asarray([[a[0], a[1], a[2]], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], dtype=x.dtype)
+    bx = x[..., None] * jnp.asarray([1.0, 0.0, 0.0], dtype=x.dtype)
+    s = linear_recurrence(A, bx)  # s[t] = (w_t, w_{t-1}, w_{t-2})
+    s_prev = jnp.concatenate([jnp.zeros_like(s[..., :1, :]), s[..., :-1, :]], axis=-2)
+    b0, b1 = b
+    return b0 * s[..., 0] + b1 * s_prev[..., 0] + b1 * s_prev[..., 1] + b0 * s_prev[..., 2]
+
+
+def decimate_world(x, r: int):
+    """The dio downsampler (dio.py:451-476): reflect-pad 9, filtfilt, stride."""
+    kn = 9
+    x = jnp.asarray(x)
+    x_len = x.shape[-1]
+    left = 2 * x[..., :1] - x[..., 1 : kn + 1][..., ::-1]
+    right = 2 * x[..., -1:] - x[..., -kn - 1 : -1][..., ::-1]
+    tmp = jnp.concatenate([left, x, right], axis=-1)
+    tmp = _filter_for_decimate(tmp, r)[..., ::-1]
+    tmp = _filter_for_decimate(tmp, r)[..., ::-1]
+    nout = int(np.ceil(x_len / r + 1))
+    nbeg = int(r - r * nout + x_len)
+    # y[k] = tmp[nbeg + k*r + kn - 1] for nbeg + k*r < x_len + kn
+    start = nbeg + kn - 1
+    count = int(np.ceil((x_len + kn - nbeg) / r))
+    return lax.slice_in_dim(tmp, start, start + (count - 1) * r + 1, stride=r, axis=-1)

@@ -1,0 +1,153 @@
+"""CheapTrick spectral-envelope estimation — fully batched over frames.
+
+Semantics follow /root/reference/world/cheaptrick.py (per-frame F0-adaptive
+window -> power spectrum + DC mirror fill -> rectangular smoothing ->
+cepstral liftering), but the execution model is TPU-first: every frame is a
+row of a fixed-shape batch; the whole utterance is ONE windowed-gather, ONE
+batched rFFT, ONE cumsum-smoothing and ONE batched cepstrum round-trip.
+Divergences from the reference (documented):
+  * the random eps guard (cheaptrick.py:117) is a deterministic eps;
+  * inputs are immutable — the reference mutates source['f0'] in place
+    (cheaptrick.py:27,33); here the effective f0 is computed functionally.
+"""
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dsp.interp import interp1h_uniform
+from ..dsp.minphase import mirror_full
+from ..frames import windowed_segment
+
+
+def default_fft_size(fs: int) -> int:
+    return int(2 ** math.ceil(math.log2(3 * fs / 71 + 1)))
+
+
+def _uniform_extrap_interp(y, x0, dx, m, xq, n_static: int):
+    """Linear interp on the uniform ascending grid x0 + k*dx (k < m, padded to
+    n_static) with linear extrapolation at both ends (scipy
+    fill_value='extrapolate' on a uniform grid)."""
+    pos = (xq - x0) / dx
+    base = jnp.clip(jnp.floor(pos), 0, m - 2)
+    frac = pos - base
+    b = base.astype(jnp.int32)
+    y0 = jnp.take(y, b)
+    y1 = jnp.take(y, jnp.minimum(b + 1, n_static - 1))
+    return y0 + (y1 - y0) * frac
+
+
+def _power_spectrum_with_dc_fill(waveform_padded, shift, fs, fft_size, f0, dtype):
+    """|FFT|^2 with the low-frequency mirror fill (cheaptrick.py:64-75).
+
+    waveform_padded: (L,) zero-padded segment whose true window starts at
+    ``shift`` (the fft must see the window at position 0 — reference fft's
+    its length-(2*half+1) waveform directly), so we roll by ``shift``.
+    Returns (half_power (fft//2+1,), ps_spectrum (fft,) complex).
+    """
+    w = jnp.roll(waveform_padded, -shift)[:fft_size]
+    ps_spectrum = jnp.fft.fft(w, fft_size)
+    power_half = jnp.abs(ps_spectrum[: fft_size // 2 + 1]) ** 2
+
+    df = fs / fft_size
+    # bins with frequency < f0 + df get a mirrored replica added
+    kmax = fft_size // 2 + 1
+    k = jnp.arange(kmax, dtype=dtype)
+    freqs = k * df
+    in_low = freqs < f0 + df            # the replica's source/query set
+    m = jnp.sum(in_low)                  # data-dependent count (masked)
+    # ascending grid of (f0 - low_axis) reversed: x0 = f0-(m-1)df, step df
+    x0 = f0 - (m - 1) * df
+    y_rev_src = jnp.where(in_low, power_half, 0.0)
+    # y on the ascending grid: y[j] = power[m-1-j]; build by flipping the
+    # first-m prefix: use gather with clamped indices
+    j = jnp.arange(kmax)
+    src_idx = jnp.clip(m - 1 - j, 0, kmax - 1)
+    y_asc = jnp.take(y_rev_src, src_idx)
+    replica = _uniform_extrap_interp(y_asc, x0, df, m, freqs, kmax)
+    add = jnp.where(freqs < f0, replica, 0.0)
+    return power_half + add, ps_spectrum
+
+
+def _linear_smoothing(power_full, f0, fs, fft_size: int, dtype):
+    """Rectangular smoothing of width 2*f0/3 via cumsum (cheaptrick.py:103-118)."""
+    df = fs / fft_size
+    double_spectrum = jnp.concatenate([power_full, power_full], axis=-1)
+    double_segment = jnp.cumsum(double_spectrum * df, axis=-1)
+    x0 = -fs + df / 2
+    last_x = x0 + (2 * fft_size - 1) * df
+    center = jnp.arange(fft_size // 2 + 1, dtype=dtype) * df
+    low = interp1h_uniform(x0, df, double_segment, center - f0 / 3, last_x)
+    high = interp1h_uniform(x0, df, double_segment, center + f0 / 3, last_x)
+    smoothed = (high - low) * 1.5 / f0
+    return smoothed + np.finfo(np.float64).eps
+
+
+def _smoothing_with_recovery(smoothed_full, f0, fs, fft_size: int, q1, dtype):
+    """Cepstral liftering (cheaptrick.py:136-157), vectorized over frames."""
+    q = jnp.arange(fft_size, dtype=dtype) / fs
+    sl = jnp.where(q == 0, 1.0,
+                   jnp.sin(jnp.pi * f0[:, None] * q) / (jnp.pi * f0[:, None] * q + (q == 0)))
+    cl = (1 - 2 * q1) + 2 * q1 * jnp.cos(2 * jnp.pi * q * f0[:, None])
+    # mirror symmetry: entries [fft//2+1:] = entries [fft//2-1:0:-1]
+    idx = np.arange(fft_size)
+    sym = np.where(idx > fft_size // 2, fft_size - idx, idx)
+    sl = sl[:, sym]
+    cl = cl[:, sym]
+    cep = jnp.fft.fft(jnp.log(smoothed_full), axis=-1)
+    env = jnp.exp(jnp.fft.ifft(cep * sl * cl, axis=-1).real)
+    return env[:, : fft_size // 2 + 1]
+
+
+@partial(jax.jit, static_argnames=("fs", "fft_size", "q1"))
+def _cheaptrick_core(x, fs, f0_seq, temporal_positions, fft_size, q1):
+    dtype = x.dtype
+    f0_low_limit = fs * 3.0 / (fft_size - 3.0)
+    default_f0 = 500.0
+    f0_eff = jnp.where(f0_seq < f0_low_limit, default_f0, f0_seq)
+
+    max_half = (fft_size - 2) // 2  # half <= int(1.5*fs/f0_low_limit+.5) <= this
+
+    def per_frame(f0_i, t_i):
+        waveform, mask, _ = windowed_segment(
+            x, float(fs), f0_i, t_i, 1.5, max_half, "hanning",
+            sub_sample_shift=False, normalize_window=True)
+        half = jnp.floor(1.5 * fs / f0_i + 0.5).astype(jnp.int32)
+        shift = max_half - half
+        power_half, ps_spec = _power_spectrum_with_dc_fill(
+            waveform, shift, float(fs), fft_size, f0_i, dtype)
+        return power_half, ps_spec
+
+    power_half, ps_spec = jax.vmap(per_frame)(f0_eff, temporal_positions)
+    power_full = mirror_full(power_half)
+    smoothed = _linear_smoothing(power_full, f0_eff[:, None], float(fs), fft_size, dtype)
+    smoothed_full = mirror_full(smoothed)
+    env = _smoothing_with_recovery(smoothed_full, f0_eff, float(fs), fft_size, q1, dtype)
+    return env, ps_spec, f0_eff
+
+
+def cheaptrick(x, fs, source_object, q1=-0.15, fft_size=None):
+    """Spectral envelope estimation (API mirrors cheaptrick.py:9-39).
+
+    Returns spectrogram (fft//2+1, n_frames) frequency-major like the
+    reference, plus the complex pitch-synchronous spectrogram.  Does NOT
+    mutate ``source_object``; the mutated-f0 contour the reference would
+    produce is returned as 'f0_effective'.
+    """
+    x = jnp.asarray(x)
+    if fft_size is None:
+        fft_size = default_fft_size(fs)
+    f0 = jnp.asarray(source_object["f0"])
+    vuv = jnp.asarray(source_object["vuv"])
+    f0 = jnp.where(vuv == 0, 500.0, f0)
+    tp = jnp.asarray(source_object["temporal_positions"])
+    env, ps_spec, f0_eff = _cheaptrick_core(x, int(fs), f0, tp, int(fft_size), float(q1))
+    return {
+        "temporal_positions": source_object["temporal_positions"],
+        "spectrogram": env.T,
+        "fs": fs,
+        "ps spectrogram": ps_spec.T,
+        "f0_effective": f0_eff,
+    }
