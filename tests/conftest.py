@@ -14,6 +14,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np

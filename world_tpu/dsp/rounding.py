@@ -7,6 +7,20 @@ here it is one vectorized jnp expression shared by everything.
 import jax.numpy as jnp
 
 
+def matlab_round_half(x):
+    """The reference's round_matlab verbatim semantics: x+0.5 (x>0) / x-0.5.
+
+    NB the reference's kernel does NOT truncate (harvest.py:154-165) — callers
+    truncate via astype(int) where they index, but several sites use the
+    half-offset FLOAT directly (stonemask window times, harvest GetRefinedF0
+    window times, seed periods).  Use this where bit-parity with those sites
+    matters; use :func:`round_matlab` where the value is immediately
+    truncated to an index.
+    """
+    x = jnp.asarray(x)
+    return jnp.where(x > 0, x + 0.5, x - 0.5)
+
+
 def round_matlab(x):
     """Round half away from zero, returning an integer-valued float array.
 

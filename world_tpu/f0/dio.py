@@ -19,7 +19,7 @@ import numpy as np
 
 from ..dsp.iir import decimate_world
 from ..dsp.rounding import round_half_even_decimals
-from ..dsp.windows import hanning_matlab, nuttall
+from ..dsp.windows import np_hanning_matlab, np_nuttall
 from .common import band_filter_bank_spectra, filter_bands, four_event_candidates
 
 
@@ -31,7 +31,7 @@ def _get_spectrum(y, actual_fs: float, f0_floor: float, fft_size: int):
     """Low-cut filtered full-signal spectrum (dio.py:74-88)."""
     cutoff_in_sample = int(actual_fs / 50 + 0.5)
     lcf = np.zeros(fft_size)
-    w = np.asarray(hanning_matlab(2 * cutoff_in_sample + 1))
+    w = np_hanning_matlab(2 * cutoff_in_sample + 1)
     w = -w / w.sum()
     lcf[: 2 * cutoff_in_sample + 1] = w
     lcf[cutoff_in_sample] += 1.0
@@ -46,7 +46,7 @@ def _band_windows(boundary_f0_list: np.ndarray, actual_fs: float):
     bank = np.zeros((len(lens), max_len))
     bias = np.zeros(len(lens), dtype=np.int64)
     for i, n in enumerate(lens):
-        win = np.asarray(nuttall(n))
+        win = np_nuttall(n)
         bank[i, :n] = win
         bias[i] = int(np.argmax(win))
     return bank, bias

@@ -16,8 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..dsp.rounding import round_half_even_decimals, round_matlab
-from ..frames import gather_1based
+from ..dsp.rounding import matlab_round_half, round_half_even_decimals, round_matlab
+from ..frames import gather_trunc_1based
 
 
 def _dft_bins(segment, bins, fft_size):
@@ -45,7 +45,10 @@ def _refine_one(x, fs, current_time, current_f0, max_half: int):
     base_index = jnp.arange(-max_half, max_half + 1, dtype=x.dtype)
     mask = jnp.abs(base_index) <= half_window_length
     base_time = round_half_even_decimals(base_index / fs, 4)
-    index_raw = round_matlab((current_time + base_time) * fs)
+    # the reference's round_matlab keeps the +/-0.5 offset un-truncated and
+    # uses it IN THE WINDOW TIME (stonemask.py:39-44); only the gather index
+    # truncates.
+    index_raw = matlab_round_half((current_time + base_time) * fs)
     index_time = (index_raw - 1) / fs
     window_time = index_time - current_time
     main_window = (0.42 + 0.5 * jnp.cos(2 * jnp.pi * window_time / window_length_in_time)
@@ -57,7 +60,7 @@ def _refine_one(x, fs, current_time, current_f0, max_half: int):
     diff_window = -(w_pad[2:] - w_pad[:-2]) / 2
     diff_window = jnp.where(mask, diff_window, 0.0)
 
-    seg = gather_1based(x, index_raw) * mask
+    seg = gather_trunc_1based(x, index_raw) * mask
     seg_main = seg * main_window
     seg_diff = seg * diff_window
 

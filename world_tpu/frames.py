@@ -16,6 +16,15 @@ def gather_1based(x, index_float_1based):
     return jnp.take(x, safe - 1)
 
 
+def gather_trunc_1based(x, index_float_1based):
+    """x[int(min(len, max(1, idx))) - 1]: clamp then truncate (no rounding).
+
+    Matches sites where the reference astype(int)s an already-half-offset
+    float index (stonemask.py:48-50, harvest.py:189)."""
+    safe = jnp.clip(index_float_1based, 1, x.shape[0]).astype(jnp.int32)
+    return jnp.take(x, safe - 1)
+
+
 def windowed_segment(x, fs, f0, temporal_position, half_length, max_half: int,
                      window_type: str, sub_sample_shift: bool,
                      normalize_window: bool = False):
