@@ -1,0 +1,185 @@
+"""Shared D4C machinery (classic + Requiem), batched over frames.
+
+Semantics from /root/reference/world/d4c.py / d4cRequiem.py; execution is
+TPU-first: per-frame windowed waveforms are masked fixed-shape gathers, all
+FFTs are batched rFFTs at a static size, the group-delay smoothing is a
+batched cumsum, and the per-band aperiodicity extraction vectorizes over
+(frame, band).
+
+Key reformulation notes:
+  * The centroid spectrum -Im(W)Re(S)+Im(S)Re(W) with W=FFT(-x*t*1j) equals
+    Re(conj(S)·U) with U=FFT(x*t) — two real FFTs, and invariant to the
+    zero-pad shift of our fixed slabs provided t uses the true 1-based
+    in-window position (t = base_index + half + 1).
+  * dc_correction / linear_smoothing run on half spectra and mirror at the
+    end (they are even-symmetric by construction).
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dsp.interp import interp1h_uniform
+from ..dsp.minphase import mirror_full
+from ..dsp.windows import np_nuttall
+from ..frames import windowed_segment
+
+
+def d4c_fft_size(fs: int) -> int:
+    return int(2 ** np.ceil(np.log2(4 * fs / 47 + 1)))
+
+
+def love_train_fft_size(fs: int) -> int:
+    return int(2 ** np.ceil(np.log2(3 * fs / 40 + 1)))
+
+
+def _uniform_extrap_interp(y, x0, dx, m, xq, n_static: int):
+    pos = (xq - x0) / dx
+    base = jnp.clip(jnp.floor(pos), 0, m - 2)
+    frac = pos - base
+    b = base.astype(jnp.int32)
+    y0 = jnp.take(y, b)
+    y1 = jnp.take(y, jnp.minimum(b + 1, n_static - 1))
+    return y0 + (y1 - y0) * frac
+
+
+def dc_correction_half(signal_half, f0, fs, fft_size: int, dtype):
+    """Low-frequency mirror fill (d4c.py:213-222) on the half spectrum.
+
+    in_low set: freqs < 1.2*f0; added where freqs < f0.
+    """
+    df = fs / fft_size
+    kmax = fft_size // 2 + 1
+    k = jnp.arange(kmax, dtype=dtype)
+    freqs = k * df
+    in_low = freqs < 1.2 * f0
+    m = jnp.sum(in_low)
+    x0 = f0 - (m - 1) * df
+    y_src = jnp.where(in_low, signal_half, 0.0)
+    j = jnp.arange(kmax)
+    src_idx = jnp.clip(m - 1 - j, 0, kmax - 1)
+    y_asc = jnp.take(y_src, src_idx)
+    replica = _uniform_extrap_interp(y_asc, x0, df, m, freqs, kmax)
+    return signal_half + jnp.where(freqs < f0, replica, 0.0)
+
+
+def linear_smoothing_full_to_half(signal_full, width, fs, fft_size: int, dtype):
+    """Rectangular smoothing of an even full spectrum (d4c.py:178-188).
+
+    signal_full: (..., fft_size); returns (..., fft_size//2+1).
+    """
+    df = fs / fft_size
+    double_spectrum = jnp.concatenate([signal_full, signal_full], axis=-1)
+    double_segment = jnp.cumsum(double_spectrum * df, axis=-1)
+    x0 = -fs + df / 2
+    last_x = x0 + (2 * fft_size - 1) * df
+    center = jnp.arange(fft_size // 2 + 1, dtype=dtype) * df
+    low = interp1h_uniform(x0, df, double_segment, center - width / 2, last_x)
+    high = interp1h_uniform(x0, df, double_segment, center + width / 2, last_x)
+    return (high - low) / width
+
+
+def love_train_vuv(x, fs, f0, temporal_positions, threshold, max_half: int,
+                   fft_size_lt: int):
+    """'Love Train' VUV decision per frame (d4c.py:68-88), batched."""
+    dtype = x.dtype
+    df = fs / fft_size_lt
+    b0 = int(np.ceil(100 / df) + 1)
+    b1 = int(np.ceil(4000 / df) + 1)
+    b2 = int(np.ceil(7900 / df) + 1)
+
+    def per_frame(f0_i, t_i):
+        f0_c = jnp.maximum(f0_i, 40.0)
+        waveform, _, _ = windowed_segment(
+            x, float(fs), f0_c, t_i, 1.5, max_half, "blackman",
+            sub_sample_shift=True)
+        spec = jnp.fft.rfft(waveform, fft_size_lt)
+        power = jnp.abs(spec) ** 2
+        k = jnp.arange(power.shape[0])
+        power = jnp.where(k < b0, 0.0, power)
+        c = jnp.cumsum(power)
+        return (c[b1 - 1] / c[b2 - 1]) > threshold
+
+    vuv = jax.vmap(per_frame)(f0, temporal_positions.astype(dtype))
+    return vuv & (f0 != 0)
+
+
+def _centroid_half(x, fs, f0, t_pos, max_half: int, fft_size: int):
+    """get_centroid for one shifted window (d4c.py:132-153) on half bins."""
+    waveform, mask, _ = windowed_segment(
+        x, float(fs), f0, t_pos, 2.0, max_half, "blackman", sub_sample_shift=True)
+    half = jnp.floor(2.0 * fs / f0 + 0.5)
+    base_index = jnp.arange(-max_half, max_half + 1, dtype=x.dtype)
+    t_true = jnp.where(mask, base_index + half + 1, 0.0)
+    xn = waveform / jnp.sqrt(jnp.sum(waveform ** 2))
+    S = jnp.fft.rfft(xn, fft_size)
+    U = jnp.fft.rfft(xn * t_true, fft_size)
+    return S.real * U.real + S.imag * U.imag
+
+
+def static_centroid_half(x, fs, f0, t_pos, max_half: int, fft_size: int, dtype):
+    c1 = _centroid_half(x, fs, f0, t_pos + 1 / f0 / 4, max_half, fft_size)
+    c2 = _centroid_half(x, fs, f0, t_pos - 1 / f0 / 4, max_half, fft_size)
+    return dc_correction_half(c1 + c2, f0, float(fs), fft_size, dtype)
+
+
+def smoothed_power_spectrum_half(x, fs, f0, t_pos, max_half: int, fft_size: int, dtype):
+    waveform, _, _ = windowed_segment(
+        x, float(fs), f0, t_pos, 2.0, max_half, "hanning", sub_sample_shift=True)
+    power = jnp.abs(jnp.fft.rfft(waveform, fft_size)) ** 2
+    power = dc_correction_half(power, f0, float(fs), fft_size, dtype)
+    return linear_smoothing_full_to_half(mirror_full(power), f0, float(fs),
+                                         fft_size, dtype)
+
+
+def static_group_delay_half(centroid_half, smoothed_power_half, fs, f0,
+                            fft_size: int, dtype):
+    """T_D(w) (d4c.py:165-174) on half bins."""
+    gd = centroid_half / smoothed_power_half
+    # NB: group_delay here is even-symmetric; smooth at width f0/2 then f0
+    gd = linear_smoothing_full_to_half(mirror_full(gd), f0 / 2, float(fs),
+                                       fft_size, dtype)
+    gd_s = linear_smoothing_full_to_half(mirror_full(gd), f0, float(fs),
+                                         fft_size, dtype)
+    return gd - gd_s
+
+
+def coarse_aperiodicity(group_delay_half, fs: float, fft_size: int,
+                        frequency_interval: float, n_ap: int, window: np.ndarray,
+                        dtype):
+    """Per-band aperiodicity from the group delay (d4c.py:192-209).
+
+    group_delay_half: (..., fft//2+1).  Returns (..., n_ap).
+    """
+    wlen = len(window)
+    boundary = int(fft_size / wlen * 8 + 0.5)
+    hw = wlen // 2
+    gd_full = mirror_full(group_delay_half)
+    segs = []
+    for i in range(n_ap):
+        center = int(np.floor(frequency_interval * (i + 1) / (fs / fft_size)))
+        segs.append(gd_full[..., center - hw : center + hw + 1])
+    seg = jnp.stack(segs, axis=-2) * jnp.asarray(window, dtype=dtype)
+    power = jnp.abs(jnp.fft.rfft(seg, fft_size, axis=-1)) ** 2
+    # full-fft power on first half+1 bins == rfft power
+    sorted_power = jnp.sort(power, axis=-1)
+    c = jnp.cumsum(sorted_power, axis=-1)
+    num = c[..., fft_size // 2 - boundary - 1]
+    den = c[..., -1]
+    return -10.0 * jnp.log10(num / den)
+
+
+def band_window(fs: int, fft_size: int, frequency_interval: float) -> np.ndarray:
+    wl = int(np.floor(frequency_interval / (fs / fft_size)) * 2 + 1)
+    return np_nuttall(wl)
+
+
+def coarse_ap_one_frame(x, fs, f0, t_pos, frequency_interval, fft_size: int,
+                        n_ap: int, window: np.ndarray, max_half: int, dtype):
+    """estimate_one_slice (d4c.py:114-128) for one frame."""
+    centroid = static_centroid_half(x, fs, f0, t_pos, max_half, fft_size, dtype)
+    spsh = smoothed_power_spectrum_half(x, fs, f0, t_pos, max_half, fft_size, dtype)
+    gd = static_group_delay_half(centroid, spsh, fs, f0, fft_size, dtype)
+    return coarse_aperiodicity(gd, float(fs), fft_size, frequency_interval,
+                               n_ap, window, dtype)
