@@ -220,7 +220,11 @@ def fix_f0_contour(f0_candidates, frame_period, f0_floor, allowed_range):
 def _dio_core(x, fs, f0_floor, f0_ceil, channels_in_octave, target_fs,
               frame_period, allowed_range, signal_length):
     num_samples = int(1000 * signal_length / fs / frame_period + 1)
-    temporal_positions = jnp.arange(num_samples, dtype=x.dtype) * (frame_period / 1000)
+    # host-side numpy: XLA rewrites x*p/1000 into x*(p/1000) which breaks
+    # bit-parity with the reference grid (dio.py:29) and shifts stonemask's
+    # window rounding; the grid is static so bake it as a constant
+    temporal_positions = jnp.asarray(
+        np.arange(num_samples) * frame_period / 1000, dtype=x.dtype)
     boundary_f0_list = f0_floor * 2.0 ** (
         (np.arange(math.ceil(np.log2(f0_ceil / f0_floor) * channels_in_octave)) + 1)
         / channels_in_octave)
