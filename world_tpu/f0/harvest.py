@@ -1,0 +1,609 @@
+"""Harvest F0 estimator — TPU-native reformulation (the framework centerpiece).
+
+Mirrors /root/reference/world/harvest.py semantically; the execution design
+replaces every CPU idiom with a TPU one:
+
+  * ~140 band-pass filters -> one batched FFT-product (lax.map-chunked to
+    bound HBM), ragged zero-crossing event lists -> fixed-capacity compacted
+    buffers (dsp.zc);
+  * DetectCandidates' per-frame run detection -> vectorized run labeling
+    with cumsum + scatter (no Python loops);
+  * the mp.Pool fan-out over (candidate, frame) refinement tasks
+    (harvest.py:140-142, the reference's dominant cost) -> ONE vmapped
+    harmonic-bin DFT: each task reads its <=6 harmonic bins directly as
+    dot products, making the per-task data-dependent fft_size a scalar in
+    the phase formula — static shapes, no FFT, no process pool;
+  * RemoveUnreliableCandidates' O(cand x frame) numba loop -> a single
+    batched min-reduction over neighbor-frame candidate error matrices;
+  * FixStep3's sequential ExtendF0 chains -> per-section lax.scan, vmapped
+    across sections; MergeF0 -> a lax.scan over section slots;
+  * SmoothF0's per-section zero-phase biquad -> batched associative-scan
+    IIR (dsp.iir.lfilter) vmapped over sections.
+"""
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dsp.iir import decimate_matlab, lfilter
+from ..dsp.rounding import matlab_round_half
+from ..dsp.windows import np_nuttall
+from ..dsp.zc import zero_crossing_events
+from ..dsp.interp import interp1_extrap
+
+EPS = 2.220446049250313e-16
+
+
+# ---------------------------------------------------------------------------
+# downsampling + band candidate generation
+# ---------------------------------------------------------------------------
+
+def _round_half_up(v: float) -> int:
+    return int(math.floor(v + 0.5))
+
+
+def downsample(x, fs: int, target_fs: int = 8000):
+    """CalculateDownsampledSignal (harvest.py:58-71)."""
+    ratio = int(fs / target_fs + 0.5)
+    if fs <= target_fs:
+        y = x
+        actual_fs = float(fs)
+    else:
+        offset = int(np.ceil(140 / ratio) * ratio)
+        xp = jnp.concatenate([jnp.full(offset, x[0], x.dtype), x,
+                              jnp.full(offset, x[-1], x.dtype)])
+        y0 = decimate_matlab(xp, ratio, order=3)
+        actual_fs = fs / ratio
+        y = y0[offset // ratio : -(offset // ratio)]
+    return y - jnp.mean(y), actual_fs
+
+
+def _band_filter_bank(boundary_f0_list: np.ndarray, actual_fs: float):
+    """Static per-band Nuttall band-pass FIRs (harvest.py:252-257)."""
+    halfs = [_round_half_up(actual_fs / bf * 2) for bf in boundary_f0_list]
+    max_len = 2 * max(halfs) + 1
+    bank = np.zeros((len(halfs), max_len))
+    bias = np.zeros(len(halfs), dtype=np.int64)
+    for i, (h, bf) in enumerate(zip(halfs, boundary_f0_list)):
+        n = 2 * h + 1
+        w = np_nuttall(n)
+        shifter = np.cos(2 * np.pi * bf * np.arange(-h, h + 1) / actual_fs)
+        bank[i, :n] = w * shifter
+        bias[i] = h + 1
+    return bank, bias
+
+
+def raw_band_candidates(y, actual_fs, boundary_f0_list, temporal_positions,
+                        f0_floor, f0_ceil, fft_size: int, capacity: int,
+                        band_chunk: int = 16):
+    """CalculateCandidates (harvest.py:75-84): (n_bands, n_frames) f0 means."""
+    y_spectrum = jnp.fft.fft(y, fft_size)
+    bank, bias = _band_filter_bank(np.asarray(boundary_f0_list), actual_fs)
+    bank_dev = jnp.asarray(bank, dtype=y.dtype)
+    bias_dev = jnp.asarray(bias)
+    bf_dev = jnp.asarray(boundary_f0_list, dtype=y.dtype)
+    y_len = y.shape[0]
+
+    def one_band(args):
+        win, b, bf = args
+        spec = jnp.fft.fft(win, fft_size)
+        filtered_full = jnp.fft.ifft(spec * y_spectrum).real
+        filtered = jax.lax.dynamic_slice_in_dim(filtered_full, b, y_len)
+        d = jnp.diff(filtered)
+        events = [
+            zero_crossing_events(filtered, actual_fs, capacity),
+            zero_crossing_events(-filtered, actual_fs, capacity),
+            zero_crossing_events(d, actual_fs, capacity),
+            zero_crossing_events(-d, actual_fs, capacity),
+        ]
+        usable = jnp.all(jnp.stack([e.count for e in events]) >= 3)
+        interps = jnp.stack([
+            interp1_extrap(e.locations, e.f0, temporal_positions,
+                           valid_count=jnp.maximum(e.count, 2))
+            for e in events])
+        f0c = jnp.where(usable, jnp.mean(interps, axis=0), 0.0)
+        bad = ((f0c > bf * 1.1) | (f0c < bf * 0.9)
+               | (f0c > f0_ceil) | (f0c < f0_floor))
+        return jnp.where(bad, 0.0, f0c)
+
+    return jax.lax.map(one_band, (bank_dev, bias_dev, bf_dev),
+                       batch_size=band_chunk)
+
+
+# ---------------------------------------------------------------------------
+# candidate detection / overlap (harvest.py:88-125)
+# ---------------------------------------------------------------------------
+
+def detect_candidates(raw, max_candidates: int, threshold: int = 10):
+    """Per-frame runs of >=threshold positive bands -> mean f0 (vectorized)."""
+    n_bands, n_frames = raw.shape
+    max_runs = n_bands // 2 + 1
+    pos = raw > 0
+    band_idx = jnp.arange(n_bands)
+    # reference zeroes the first and last band before run detection
+    pos = pos & (band_idx[:, None] > 0) & (band_idx[:, None] < n_bands - 1)
+    prev = jnp.concatenate([jnp.zeros((1, n_frames), bool), pos[:-1]])
+    start = pos & ~prev
+    rid = jnp.cumsum(start, axis=0) - 1          # run id per band (where pos)
+    frame_idx = jnp.broadcast_to(jnp.arange(n_frames)[None, :], raw.shape)
+    flat_id = jnp.where(pos, rid, max_runs) * n_frames + frame_idx
+    sums = jnp.zeros(max_runs * n_frames + n_frames, raw.dtype).at[
+        flat_id.reshape(-1)].add(jnp.where(pos, raw, 0.0).reshape(-1), mode="drop")
+    cnts = jnp.zeros(max_runs * n_frames + n_frames, jnp.int32).at[
+        flat_id.reshape(-1)].add(pos.astype(jnp.int32).reshape(-1), mode="drop")
+    sums = sums[: max_runs * n_frames].reshape(max_runs, n_frames)
+    cnts = cnts[: max_runs * n_frames].reshape(max_runs, n_frames)
+    qualify = cnts >= threshold
+    means = jnp.where(qualify, sums / jnp.maximum(cnts, 1), 0.0)
+    # compact qualifying runs (in run order) to the first max_candidates rows
+    qrank = jnp.cumsum(qualify, axis=0) - 1
+    out_id = jnp.where(qualify, qrank, max_candidates) * n_frames + frame_idx[:max_runs]
+    cands = jnp.zeros(max_candidates * n_frames + n_frames, raw.dtype).at[
+        out_id.reshape(-1)].add(means.reshape(-1), mode="drop")
+    cands = cands[: max_candidates * n_frames].reshape(max_candidates, n_frames)
+    n_detected = jnp.max(jnp.sum(qualify, axis=0))
+    return cands, n_detected
+
+
+def overlap_candidates(cands, max_candidates: int, n: int = 3):
+    """OverlapF0Candidates (harvest.py:114-125), static-shape version.
+
+    Stacks +/-n frame-shifted copies; replicates the reference's row-0
+    initialization quirk (new[0] = cands[2n], partially overwritten)."""
+    n_over = n * 2 + 1
+    mc = max_candidates
+    n_frames = cands.shape[1]
+    rows = []
+    for i in range(n_over):
+        st1 = max(-(i - n) + 1, 1)
+        ed1 = min(-(i - n), 0)
+        width = n_frames + ed1 - (st1 - 1)
+        block = jnp.zeros((mc, n_frames), cands.dtype)
+        block = jax.lax.dynamic_update_slice(
+            block, cands[:, -ed1 : -ed1 + width], (0, st1 - 1))
+        rows.append(block)
+    out = jnp.concatenate(rows, axis=0)
+    # row-0 quirk: initialized from cands[n_over-1] before block 0 overwrote
+    # cols [n:], leaving cols [0:n] holding cands[n_over-1, 0:n]
+    leftover = jnp.where(jnp.arange(n_frames) < n, cands[n_over - 1], out[0])
+    return out.at[0].set(leftover)
+
+
+# ---------------------------------------------------------------------------
+# refinement (harvest.py:169-211) — harmonic-bin DFT, no FFT, no pool
+# ---------------------------------------------------------------------------
+
+def _refine_task(y, actual_fs, t_i, f0_c, f0_floor, f0_ceil, max_half: int):
+    dtype = y.dtype
+    f0_safe = jnp.maximum(f0_c, 1e-12)
+    half = jnp.ceil(3 * actual_fs / f0_safe / 2)
+    wlt = (2 * half + 1) / actual_fs
+    fft_size = 2.0 ** jnp.ceil(jnp.log2(half * 2 + 1) + 1)
+
+    base_index = jnp.arange(-max_half, max_half + 1, dtype=dtype)
+    mask = jnp.abs(base_index) <= half
+    base_time = base_index / actual_fs
+    index_raw = matlab_round_half((t_i + base_time) * actual_fs + 0.001)
+    common = jnp.pi * ((index_raw - 1) / actual_fs - t_i) / wlt
+    main_window = 0.42 + 0.5 * jnp.cos(2 * common) + 0.08 * jnp.cos(4 * common)
+    main_window = jnp.where(mask, main_window, 0.0)
+    w_pad = jnp.concatenate([jnp.zeros(1, dtype), main_window, jnp.zeros(1, dtype)])
+    diff_window = -(w_pad[2:] - w_pad[:-2]) / 2
+    diff_window = jnp.where(mask, diff_window, 0.0)
+
+    safe = jnp.clip(index_raw, 1, y.shape[0]).astype(jnp.int32)
+    seg = jnp.take(y, safe - 1) * mask
+    seg_main = seg * main_window
+    seg_diff = seg * diff_window
+
+    harmonics = jnp.arange(1.0, 7.0, dtype=dtype)
+    n_harm = jnp.minimum(jnp.floor(actual_fs / 2 / f0_safe), 6.0)
+    hmask = harmonics <= n_harm
+    bins = jnp.where(matlab_round_half(f0_safe * fft_size / actual_fs * harmonics) > 0,
+                     jnp.trunc(matlab_round_half(f0_safe * fft_size / actual_fs
+                                                 * harmonics)), 0.0)
+    n_idx = jnp.arange(seg.shape[0], dtype=dtype)
+    theta = (-2.0 * jnp.pi / fft_size) * bins[:, None] * n_idx[None, :]
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    re_s = c @ seg_main
+    im_s = s @ seg_main
+    re_d = c @ seg_diff
+    im_d = s @ seg_diff
+    numerator = re_s * im_d - im_s * re_d
+    power = re_s ** 2 + im_s ** 2
+    inst_freq = (bins / fft_size + numerator / jnp.maximum(power, 1e-300)
+                 / 2 / jnp.pi) * actual_fs
+    amp = jnp.sqrt(power) * hmask
+    refined = jnp.sum(amp * inst_freq) / jnp.maximum(jnp.sum(amp * harmonics), 1e-300)
+    variation = jnp.abs((inst_freq / harmonics - f0_safe) / f0_safe)
+    score = 1.0 / (0.000000000001
+                   + jnp.sum(jnp.where(hmask, variation, 0.0)) / jnp.maximum(n_harm, 1.0))
+    ok = (refined >= f0_floor) & (refined <= f0_ceil) & (score >= 2.5) & (f0_c != 0)
+    return jnp.where(ok, refined, 0.0), jnp.where(ok, score, 0.0)
+
+
+def refine_candidates(y, actual_fs, temporal_positions, cands, f0_floor, f0_ceil,
+                      max_half: int, frame_chunk: int = 512):
+    """RefineCandidates (harvest.py:131-150) as one masked batched compute."""
+    C, F = cands.shape
+    pad = (-F) % frame_chunk
+    tp_p = jnp.pad(temporal_positions, (0, pad))
+    cands_p = jnp.pad(cands, ((0, 0), (0, pad)))
+
+    def chunk_fn(args):
+        tp_c, cd_c = args  # (B,), (C, B)
+        fn = jax.vmap(jax.vmap(
+            lambda t, f: _refine_task(y, actual_fs, t, f, f0_floor, f0_ceil,
+                                      max_half),
+            in_axes=(None, 0)), in_axes=(0, 1), out_axes=1)
+        return fn(tp_c, cd_c)
+
+    nb = (F + pad) // frame_chunk
+    tp_b = tp_p.reshape(nb, frame_chunk)
+    cd_b = cands_p.reshape(C, nb, frame_chunk).transpose(1, 0, 2)
+    ref, score = jax.lax.map(chunk_fn, (tp_b, cd_b))
+    ref = ref.transpose(1, 0, 2).reshape(C, F + pad)[:, :F]
+    score = score.transpose(1, 0, 2).reshape(C, F + pad)[:, :F]
+    return ref, score
+
+
+def remove_unreliable(cands, scores, threshold: float = 0.05):
+    """RemoveUnreliableCandidates (harvest.py:215-234), one batched reduction."""
+    C, F = cands.shape
+    ref = jnp.maximum(cands, 1e-300)
+
+    def min_err_vs(other):  # other: (C, F) aligned with ref's frame axis
+        # err[j, k, i] = |ref[j,i] - other[k,i]| / ref[j,i]
+        e = jnp.abs(ref[:, None, :] - other[None, :, :]) / ref[:, None, :]
+        return jnp.minimum(jnp.min(e, axis=1), 1.0)
+
+    nxt = jnp.concatenate([cands[:, 1:], jnp.zeros((C, 1), cands.dtype)], axis=1)
+    prv = jnp.concatenate([jnp.zeros((C, 1), cands.dtype), cands[:, :-1]], axis=1)
+    min_error = jnp.minimum(min_err_vs(nxt), min_err_vs(prv))
+    frame_idx = jnp.arange(F)
+    interior = (frame_idx >= 1) & (frame_idx <= F - 2)
+    remove = (cands != 0) & (min_error > threshold) & interior[None, :]
+    return (jnp.where(remove, 0.0, cands), jnp.where(remove, 0.0, scores))
+
+
+# ---------------------------------------------------------------------------
+# contour fixing (harvest.py:301-495)
+# ---------------------------------------------------------------------------
+
+def _select_best_f0(reference_f0, candidates, allowed_range):
+    """SelectBestF0 (harvest.py:238-248): min relative error, ties -> LAST
+    minimum (the numba loop uses `tmp > best_error: continue`, so equal
+    errors update).  Returns (best_f0, best_error<=allowed_range kept)."""
+    err = jnp.abs(reference_f0 - candidates) / reference_f0
+    # last argmin: flip, argmin of reversed picks last occurrence
+    n = candidates.shape[0]
+    rev = err[::-1]
+    j = n - 1 - jnp.argmin(rev)
+    best_err = err[j]
+    ok = best_err <= allowed_range
+    return jnp.where(ok, candidates[j], 0.0), jnp.minimum(best_err, allowed_range)
+
+
+def search_f0_base(cands, scores):
+    """Highest-score candidate per frame (harvest.py:314-319)."""
+    idx = jnp.argmax(scores, axis=0)
+    return jnp.take_along_axis(cands, idx[None, :], axis=0)[0]
+
+
+def fix_step1(f0_base, allowed_range: float = 0.008):
+    """Zero rapid changes (harvest.py:324-338) — reads only the original
+    contour, hence fully data-parallel."""
+    n = f0_base.shape[0]
+    p1 = jnp.concatenate([jnp.zeros(1, f0_base.dtype), f0_base[:-1]])
+    p2 = jnp.concatenate([jnp.zeros(2, f0_base.dtype), f0_base[:-2]])
+    ref = p1 * 2 - p2
+    rapid = ((jnp.abs((f0_base - ref) / (ref + EPS)) > allowed_range)
+             & (jnp.abs((f0_base - p1) / (p1 + EPS)) > allowed_range))
+    i = jnp.arange(n)
+    out = jnp.where((i >= 2) & (f0_base != 0) & rapid, 0.0, f0_base)
+    return out.at[0].set(0.0).at[1].set(0.0)
+
+
+def _sections(f0, max_sections: int):
+    """Voiced sections under GetBoundaryList's edge-forcing (harvest.py:572-580).
+
+    Returns (starts, ends, count): padded (max_sections,) int arrays."""
+    n = f0.shape[0]
+    v = f0 != 0
+    i = jnp.arange(n)
+    v = v & (i > 0) & (i < n - 1)  # vuv[0]=vuv[-1]=0 forced
+    v_prev = jnp.concatenate([jnp.asarray([False]), v[:-1]])
+    v_next = jnp.concatenate([v[1:], jnp.asarray([False])])
+    is_start = v & ~v_prev
+    is_end = v & ~v_next
+    sid = jnp.cumsum(is_start) - 1
+    starts = jnp.zeros(max_sections + 1, jnp.int32).at[
+        jnp.where(is_start, sid, max_sections)].set(
+        jnp.where(is_start, i, 0).astype(jnp.int32), mode="drop")[:-1]
+    eid = jnp.cumsum(is_end) - 1
+    ends = jnp.zeros(max_sections + 1, jnp.int32).at[
+        jnp.where(is_end, eid, max_sections)].set(
+        jnp.where(is_end, i, 0).astype(jnp.int32), mode="drop")[:-1]
+    count = jnp.minimum(jnp.sum(is_start), max_sections)
+    return starts, ends, count
+
+
+def fix_step2(f0_step1, voice_range_minimum: int = 6):
+    """Remove short voiced sections (harvest.py:343-352), capacity-free:
+    each voiced frame learns its run bounds via prefix/suffix scans."""
+    n = f0_step1.shape[0]
+    i = jnp.arange(n)
+    v = (f0_step1 != 0) & (i > 0) & (i < n - 1)  # GetBoundaryList edge forcing
+    v_prev = jnp.concatenate([jnp.asarray([False]), v[:-1]])
+    v_next = jnp.concatenate([v[1:], jnp.asarray([False])])
+    is_start = v & ~v_prev
+    is_end = v & ~v_next
+    run_start = jax.lax.cummax(jnp.where(is_start, i, -1))
+    run_end = jax.lax.cummin(jnp.where(is_end, i, n + 10)[::-1])[::-1]
+    short = v & ((run_end - run_start) < voice_range_minimum)
+    return jnp.where(short, 0.0, f0_step1)
+
+
+def _extend_chain(section_f0, origin, last_point, shift, cands, allowed_range,
+                  n_steps: int):
+    """ExtendF0 (harvest.py:408-429) as a scan of SelectBestF0 picks.
+
+    Returns (positions (n_steps,), values (n_steps,), write_mask, shifted_origin).
+    """
+    def body(carry, k):
+        tmp_f0, misses, shifted_origin, stopped = carry
+        pos = (origin + shift * (k + 1)).astype(jnp.int32)
+        in_range = jnp.where(shift > 0, pos <= last_point + 1, pos >= last_point - 1)
+        # reference adjusts last_point by +shift then iterates to it inclusive
+        active = (~stopped) & in_range
+        val, _ = _select_best_f0(jnp.maximum(tmp_f0, 1e-300), cands[:, pos],
+                                 allowed_range)
+        val = jnp.where(active, val, 0.0)
+        hit = active & (val != 0)
+        tmp_f0 = jnp.where(hit, val, tmp_f0)
+        shifted_origin = jnp.where(hit, pos, shifted_origin)
+        misses = jnp.where(hit, 0, misses + jnp.where(active, 1, 0))
+        stopped = stopped | (misses >= 4) | ~in_range
+        return (tmp_f0, misses, shifted_origin, stopped), (pos, val, active)
+
+    init = (section_f0[origin], jnp.asarray(0, jnp.int32),
+            jnp.asarray(origin, jnp.int32), jnp.asarray(False))
+    (_, _, shifted_origin, _), (pos, vals, mask) = jax.lax.scan(
+        body, init, jnp.arange(n_steps, dtype=jnp.int32))
+    return pos, vals, mask, shifted_origin
+
+
+def fix_step3(f0_step2, cands, scores, allowed_range: float = 0.18,
+              max_sections: int = 256):
+    """Extend + merge voiced sections (harvest.py:357-383)."""
+    n = f0_step2.shape[0]
+    starts, ends, count = _sections(f0_step2, max_sections)
+    sec_valid = jnp.arange(max_sections) < count
+    threshold1, threshold2 = 100, 2200.0
+
+    def extend_one(st, ed, valid):
+        # forward from section end
+        lp_f = jnp.minimum(n - 2, ed + threshold1)
+        pos_f, val_f, m_f, r1 = _extend_chain(
+            f0_step2, ed, lp_f, 1, cands, allowed_range, threshold1 + 1)
+        # backward from section start (on the already-extended contour — but
+        # backward writes land strictly before the section, so the chains are
+        # independent; the seed value is f0[start])
+        lp_b = jnp.maximum(1, st - threshold1)
+        pos_b, val_b, m_b, r0 = _extend_chain(
+            f0_step2, st, lp_b, -1, cands, allowed_range, threshold1 + 1)
+        # assemble the extended section row: base section + the two chains
+        i = jnp.arange(n)
+        row = jnp.where((i >= st) & (i <= ed), f0_step2, 0.0)
+        row = row.at[jnp.where(m_f, pos_f, n)].set(jnp.where(m_f, val_f, 0.0),
+                                                   mode="drop")
+        row = row.at[jnp.where(m_b, pos_b, n)].set(jnp.where(m_b, val_b, 0.0),
+                                                   mode="drop")
+        in_rng = (i >= r0) & (i <= r1)
+        mean_f0 = jnp.sum(jnp.where(in_rng, row, 0.0)) / jnp.sum(in_rng)
+        keep = valid & (threshold2 / mean_f0 < (r1 - r0))
+        return row, r0, r1, keep
+
+    rows, r0s, r1s, keeps = jax.vmap(extend_one)(starts, ends, sec_valid)
+
+    # MergeF0 (harvest.py:442-486): kept sections sorted by extended start
+    order = jnp.argsort(jnp.where(keeps, r0s, n + 10))
+    rows = rows[order]
+    r0s = jnp.asarray(r0s, jnp.int32)[order]
+    r1s = jnp.asarray(r1s, jnp.int32)[order]
+    keeps = keeps[order]
+    merged0 = jnp.zeros(n, f0_step2.dtype)
+
+    def merge_body(carry, sec):
+        f0_m, cur_st, cur_ed, started = carry
+        row, st2, ed2, keep = sec
+        i = jnp.arange(n)
+
+        def do_first(_):
+            return row, st2, ed2, jnp.asarray(True)
+
+        def do_merge(_):
+            disjoint = (st2 - cur_ed) > 0
+
+            # disjoint: copy section in, jump the current range
+            f0_dis = jnp.where((i >= st2) & (i <= ed2), row, f0_m)
+
+            # overlapping: MergeF0Sub (harvest.py:463-486)
+            contained = (cur_st <= st2) & (cur_ed >= ed2)
+            ov = (i >= st2) & (i <= cur_ed)
+
+            def sscore(contour):
+                # SerachScore: max score over candidates equal to the value
+                eq = cands == contour[None, :]
+                return jnp.max(jnp.where(eq, scores, 0.0), axis=0)
+
+            s1 = jnp.sum(jnp.where(ov, sscore(f0_m), 0.0))
+            s2 = jnp.sum(jnp.where(ov, sscore(row), 0.0))
+            take2_from = jnp.where(s1 > s2, cur_ed, st2)
+            f0_sub = jnp.where((i >= take2_from) & (i <= ed2), row, f0_m)
+            f0_ovl = jnp.where(contained, f0_m, f0_sub)
+            new_ed_ovl = jnp.where(contained, cur_ed, ed2)
+
+            f0_new = jnp.where(disjoint, f0_dis, f0_ovl)
+            st_new = jnp.where(disjoint, st2, cur_st)
+            ed_new = jnp.where(disjoint, ed2, new_ed_ovl)
+            return f0_new, st_new, ed_new, jnp.asarray(True)
+
+        f0_new, st_new, ed_new, started_new = jax.lax.cond(
+            keep & ~started, do_first,
+            lambda _: jax.lax.cond(keep & started, do_merge,
+                                   lambda __: (f0_m, cur_st, cur_ed, started),
+                                   None), None)
+        return (f0_new, st_new, ed_new, started_new), None
+
+    (f0_merged, _, _, started), _ = jax.lax.scan(
+        merge_body,
+        (merged0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+         jnp.asarray(False)),
+        (rows, r0s, r1s, keeps))
+    return jnp.where(started, f0_merged, f0_step2)
+
+
+def fix_step4(f0_step3, threshold: int = 9, max_sections: int = 1024):
+    """Fill short unvoiced gaps by linear interpolation (harvest.py:388-404)."""
+    n = f0_step3.shape[0]
+    i = jnp.arange(n)
+    v = (f0_step3 != 0) & (i > 0) & (i < n - 1)
+    v_prev = jnp.concatenate([jnp.asarray([False]), v[:-1]])
+    v_next = jnp.concatenate([v[1:], jnp.asarray([False])])
+    is_start = v & ~v_prev
+    is_end = v & ~v_next
+    big = n + 10
+    prev_end = jax.lax.cummax(jnp.where(is_end, i, -1))
+    next_start = jax.lax.cummin(jnp.where(is_start, i, big)[::-1])[::-1]
+    pe = jnp.concatenate([jnp.asarray([-1]), prev_end[:-1]])
+    ns = jnp.concatenate([next_start[1:], jnp.asarray([big])])
+    gap = ~v & (pe >= 0) & (ns < big)
+    distance = ns - pe - 1
+    tmp0 = jnp.take(f0_step3, jnp.clip(pe, 0, n - 1)) + 1
+    tmp1 = jnp.take(f0_step3, jnp.clip(ns, 0, n - 1)) - 1
+    c = (tmp1 - tmp0) / (distance + 1)
+    fill = tmp0 + c * (i - pe)
+    do = gap & (distance < threshold)
+    return jnp.where(do, fill, f0_step3)
+
+
+# ---------------------------------------------------------------------------
+# SmoothF0 (harvest.py:533-559)
+# ---------------------------------------------------------------------------
+
+_SMOOTH_B = np.array([0.0078202080334971724, 0.015640416066994345,
+                      0.0078202080334971724])
+_SMOOTH_A = np.array([1.0, -1.7347257688092754, 0.76600660094326412])
+
+
+def smooth_f0(f0, max_sections: int = 256, section_chunk: int = 32):
+    """Per-voiced-section zero-phase biquad smoothing, vmapped over sections."""
+    n = f0.shape[0]
+    padded = jnp.concatenate([jnp.zeros(300, f0.dtype), f0, jnp.zeros(300, f0.dtype)])
+    m = padded.shape[0]
+    starts, ends, count = _sections(padded, max_sections)
+    valid = jnp.arange(max_sections) < count
+
+    def one_section(args):
+        st, ed, ok = args
+        i = jnp.arange(m)
+        row = jnp.where((i >= st) & (i <= ed), padded, 0.0)
+        row = jnp.where(i < st, padded[st], row)
+        row = jnp.where(i > ed, padded[ed], row)
+        a = lfilter(_SMOOTH_B, _SMOOTH_A, row)
+        b = lfilter(_SMOOTH_B, _SMOOTH_A, a[::-1])[::-1]
+        seg = jnp.where((i >= st) & (i <= ed) & ok, b, 0.0)
+        return seg
+
+    segs = jax.lax.map(one_section, (starts, ends, valid),
+                       batch_size=section_chunk)
+    smoothed = jnp.sum(segs, axis=0)
+    return smoothed[300 : m - 300]
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+def harvest(x, fs, f0_floor=71, f0_ceil=800, frame_period=5,
+            max_candidates: int = None, max_sections: int = 256):
+    """Harvest F0 estimation (API mirrors harvest.py:17-54)."""
+    x = jnp.asarray(x)
+    if max_candidates is None:
+        # the reference's own cap: channels/10 rounded (harvest.py:90)
+        n_bands = int(np.ceil(np.log2((f0_ceil * 1.1) / (f0_floor * 0.9)) * 40))
+        max_candidates = int(n_bands / 10 + 0.5)
+    out = _harvest_core(x, int(fs), float(f0_floor), float(f0_ceil),
+                        float(frame_period), int(max_candidates),
+                        int(max_sections), x.shape[0])
+    return {k: v for k, v in out.items()}
+
+
+@partial(jax.jit, static_argnames=("fs", "f0_floor", "f0_ceil", "frame_period",
+                                   "max_candidates", "max_sections",
+                                   "signal_length"))
+def _harvest_core(x, fs, f0_floor, f0_ceil, frame_period, max_candidates,
+                  max_sections, signal_length):
+    target_fs = 8000
+    basic_frame_period = 1
+    num_samples = int(1000 * signal_length / fs / basic_frame_period + 1)
+    basic_tp = jnp.asarray(np.arange(num_samples) * basic_frame_period / 1000,
+                           dtype=x.dtype)
+    channels_in_octave = 40
+    adj_floor = f0_floor * 0.9
+    adj_ceil = f0_ceil * 1.1
+    boundary_f0_list = adj_floor * 2.0 ** (
+        (np.arange(np.ceil(np.log2(adj_ceil / adj_floor) * channels_in_octave)) + 1)
+        / channels_in_octave)
+
+    y, actual_fs = downsample(x, fs, target_fs)
+    y_len = y.shape[0]
+    fft_size = int(2 ** np.ceil(np.log2(
+        y_len + int(fs / adj_floor * 4 + 0.5) + 1)))
+    duration = y_len / actual_fs
+    capacity = int(duration * boundary_f0_list[-1] * 1.5) + 64
+
+    raw = raw_band_candidates(y, actual_fs, boundary_f0_list, basic_tp,
+                              f0_floor, f0_ceil, fft_size, capacity)
+    cands0, n_detected = detect_candidates(raw, max_candidates)
+    cands1 = overlap_candidates(cands0, max_candidates)
+    max_half = int(np.ceil(3 * actual_fs / f0_floor / 2))
+    cands2, scores2 = refine_candidates(y, actual_fs, basic_tp, cands1,
+                                        f0_floor, f0_ceil, max_half)
+    cands3, scores3 = remove_unreliable(cands2, scores2)
+
+    f0_base = search_f0_base(cands3, scores3)
+    f0_step1 = fix_step1(f0_base, 0.008)
+    f0_step2 = fix_step2(f0_step1, 6)
+    f0_step3 = fix_step3(f0_step2, cands3, scores3, 0.18,
+                         max_sections=max_sections)
+    f0_step4 = fix_step4(f0_step3, 9)
+    vuv_full = jnp.where(f0_step4 != 0, 1.0, 0.0)
+    smoothed = smooth_f0(f0_step4, max_sections=max_sections)
+
+    out_samples = int(1000 * signal_length / fs / frame_period + 1)
+    tp_out = jnp.asarray(np.arange(out_samples) * frame_period / 1000,
+                         dtype=x.dtype)
+    idx = jnp.minimum(smoothed.shape[0] - 1,
+                      matlab_round_half(tp_out * 1000)).astype(jnp.int32)
+    return {
+        "temporal_positions": tp_out,
+        "f0": jnp.take(smoothed, idx),
+        "vuv": jnp.take(vuv_full, idx),
+        "_raw_candidates": raw,
+        "_cands_detected": cands0,
+        "_cands_overlap": cands1,
+        "_cands_refined": cands2,
+        "_scores_refined": scores2,
+        "_cands_clean": cands3,
+        "_scores_clean": scores3,
+        "_f0_base": f0_base,
+        "_f0_step1": f0_step1,
+        "_f0_step2": f0_step2,
+        "_f0_step3": f0_step3,
+        "_f0_step4": f0_step4,
+        "_smoothed": smoothed,
+    }
