@@ -1,0 +1,135 @@
+"""Requiem synthesis: excitation generation + spectral filtering.
+
+Semantics from /root/reference/world/synthesisRequiem.py:12-141; TPU-first
+execution:
+  * the per-band looped velvet noise (whose reference implementation hides a
+    persistent cursor in a function attribute, synthesisRequiem.py:131-141)
+    becomes an explicit modular gather with caller-supplied offsets —
+    stateless and deterministic;
+  * the per-pulse loop becomes ONE (pulses, bands) x (bands, fft) matmul +
+    masked scatter-add;
+  * the per-frame filtering loop becomes batched min-phase cepstra and FFT
+    convolutions over all frames at once.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dsp.interp import interp1_extrap
+from ..dsp.minphase import minimum_phase_spectrum, mirror_full
+from ..dsp.windows import np_hanning_matlab
+
+
+def _pulse_locations(temporal_positions, f0, vuv, fs, time_axis, max_pulses: int):
+    """time_base_generation (synthesisRequiem.py:104-118): no time shift."""
+    f0_i = interp1_extrap(temporal_positions, f0, time_axis)
+    vuv_i = interp1_extrap(temporal_positions, vuv, time_axis) > 0.5
+    f0_i = jnp.where(vuv_i, f0_i, 0.0)
+    f0_i = jnp.where(f0_i == 0, 500.0, f0_i)
+    total_phase = jnp.cumsum(2 * jnp.pi * f0_i / fs)
+    wrap = jnp.remainder(total_phase, 2 * jnp.pi)
+    mask = jnp.abs(jnp.diff(wrap)) > jnp.pi
+    slot = jnp.where(mask, jnp.cumsum(mask) - 1, max_pulses)
+    count = jnp.minimum(jnp.sum(mask), max_pulses)
+    locs = jnp.zeros(max_pulses, time_axis.dtype).at[slot].set(
+        jnp.where(mask, time_axis[:-1], 0.0), mode="drop")
+    pli = jnp.floor(locs * fs + 0.5).astype(jnp.int32) + 1
+    return pli, count, vuv_i
+
+
+@partial(jax.jit, static_argnames=("fs", "y_length", "max_pulses"))
+def _excitation_core(temporal_positions, f0, vuv, band_ap_db, pulse_seed,
+                     noise_seed, noise_offsets, fs, y_length, max_pulses):
+    dtype = pulse_seed.dtype
+    fft_size = pulse_seed.shape[0]
+    n_bands = pulse_seed.shape[1]
+    time_axis = jnp.arange(y_length, dtype=dtype) / fs + temporal_positions[0]
+    pli, count, vuv_i = _pulse_locations(temporal_positions, f0, vuv, float(fs),
+                                         time_axis, max_pulses)
+
+    # band aperiodicity resampled to the sample grid (linear in 10^(dB/10))
+    ap_lin = 10.0 ** (band_ap_db / 10.0)      # (bands, frames)
+    interp_ap = jax.vmap(lambda row: interp1_extrap(temporal_positions, row,
+                                                    time_axis))(ap_lin)
+
+    # aperiodic component: per-band tiled velvet noise x interpolated ap
+    noise_len = noise_seed.shape[0]
+    idx = jnp.remainder(noise_offsets[:, None]
+                        + jnp.arange(y_length)[None, :], noise_len)
+    noise = jnp.take_along_axis(noise_seed.T, idx, axis=1)  # (bands, N)
+    aperiodic = jnp.sum(noise * interp_ap, axis=0)
+
+    # periodic component: (pulses, bands) weights @ (bands, fft) seeds
+    pulse_ids = jnp.arange(max_pulses)
+    valid = pulse_ids < count
+    ap_at_pulse = interp_ap[:, jnp.clip(pli - 1, 0, y_length - 1)]  # (bands, P)
+    voiced = (jnp.take(vuv_i, jnp.clip(pli - 1, 0, y_length - 1))
+              & (ap_at_pulse[0] <= 0.999) & valid)
+    next_pli = jnp.take(pli, jnp.minimum(jnp.minimum(pulse_ids + 1, count - 1),
+                                         max_pulses - 1))
+    noise_size = jnp.sqrt(jnp.maximum(1.0, (next_pli - pli).astype(dtype)))
+    weights = (1.0 - ap_at_pulse.T) * jnp.where(voiced, noise_size, 0.0)[:, None]
+    responses = weights @ pulse_seed.T                     # (P, fft)
+    base_index = jnp.arange(-(fft_size // 2) + 1, fft_size // 2 + 1)
+    out_idx = jnp.clip(pli[:, None] + base_index[None, :], 1, y_length) - 1
+    periodic = jnp.zeros(y_length, dtype).at[out_idx.reshape(-1)].add(
+        responses.reshape(-1))
+    return periodic + aperiodic
+
+
+@partial(jax.jit, static_argnames=("fs", "fft_size", "fps"))
+def _waveform_core(excitation, spectrogram, temporal_positions, fs, fft_size,
+                   fps):
+    """get_waveform (synthesisRequiem.py:74-101), batched over frames."""
+    dtype = excitation.dtype
+    n_frames = spectrogram.shape[1]
+    y_len = excitation.shape[0]
+    win_len = fps * 2 - 1
+    half = fps - 1
+    win = jnp.asarray(np_hanning_matlab(win_len), dtype=dtype)
+
+    frames = jnp.arange(2, n_frames - 1)
+    origins = (frames - 1) * fps - half  # 1-based origin
+
+    def per_frame(i, origin):
+        seg_idx = jnp.minimum(y_len, origin + jnp.arange(win_len)) - 1
+        tmp = jnp.take(excitation, seg_idx) * win
+        spec = spectrogram[:, i - 1]
+        mp = minimum_phase_spectrum(mirror_full(spec))
+        resp = jnp.fft.ifft(mp * jnp.fft.fft(tmp, fft_size)).real
+        out_idx = jnp.minimum(y_len, origin + jnp.arange(fft_size)) - 1
+        return resp, out_idx
+
+    resps, out_idxs = jax.vmap(per_frame)(frames, origins)
+    return jnp.zeros(y_len, dtype).at[out_idxs.reshape(-1)].add(
+        resps.reshape(-1))
+
+
+def synthesis_requiem(source_object, filter_object, seeds_signals,
+                      noise_offsets=None, max_pulses=None):
+    """Excitation-based synthesis (API mirrors synthesisRequiem.py:12-25)."""
+    f0 = np.asarray(source_object["f0"], dtype=np.float64)
+    vuv = np.asarray(source_object["vuv"], dtype=np.float64)
+    tp = np.asarray(source_object["temporal_positions"], dtype=np.float64)
+    spectrogram = jnp.asarray(filter_object["spectrogram"])
+    band_ap = jnp.asarray(source_object["aperiodicity"])
+    fs = int(filter_object["fs"])
+    pulse_seed = jnp.asarray(seeds_signals["pulse"])
+    noise_seed = jnp.asarray(seeds_signals["noise"])
+
+    y_length = len(np.arange(tp[0], tp[-1] + 1 / fs, 1.0 / fs))
+    if max_pulses is None:
+        est = int(np.ceil((tp[-1] - tp[0]) * max(500.0, float(f0.max()) * 1.2))) + 8
+        max_pulses = int(2 ** np.ceil(np.log2(est)))
+    if noise_offsets is None:
+        noise_offsets = jnp.zeros(pulse_seed.shape[1], jnp.int32)
+
+    excitation = _excitation_core(
+        jnp.asarray(tp), jnp.asarray(f0), jnp.asarray(vuv), band_ap,
+        pulse_seed, noise_seed, noise_offsets, fs, y_length, max_pulses)
+    fft_size = (spectrogram.shape[0] - 1) * 2
+    fps = int((tp[1] - tp[0]) * fs)
+    return _waveform_core(excitation, spectrogram, jnp.asarray(tp), fs,
+                          int(fft_size), fps)
