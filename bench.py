@@ -1,0 +1,65 @@
+"""Benchmark: harvest + requiem encode/decode xRT on the BASELINE fixture.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline (BASELINE.md): the NumPy reference runs harvest encode in 27.2 s +
+requiem-style decode ~0.65 s on the same 4.644 s clip => 0.1667x realtime.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    from scipy.io import wavfile
+
+    import jax
+
+    from world_tpu.parallel.batch import _encode_decode_one
+    from world_tpu.synth.seeds import get_seeds_signals
+
+    fs, x_int16 = wavfile.read("/root/reference/test/test-mwm.wav")
+    x = (x_int16 / (2 ** 15 - 1)).astype(np.float32)
+    audio_seconds = len(x) / fs
+
+    import jax.numpy as jnp
+
+    seeds = get_seeds_signals(int(fs))
+    pulse = jnp.asarray(np.asarray(seeds["pulse"], dtype=np.float32))
+    noise = jnp.asarray(np.asarray(seeds["noise"], dtype=np.float32))
+    xj = jnp.asarray(x)
+
+    n_bands = int(np.ceil(np.log2((800 * 1.1) / (71 * 0.9)) * 40))
+    max_candidates = int(n_bands / 10 + 0.5)
+
+    @jax.jit
+    def step(x, pulse_seed, noise_seed):
+        return _encode_decode_one(x, pulse_seed, noise_seed, fs=int(fs),
+                                  frame_period=5, max_pulses=8192,
+                                  max_candidates=max_candidates,
+                                  max_sections=256)
+
+    # compile + warmup
+    out = step(xj, pulse, noise)
+    jax.block_until_ready(out)
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = step(xj, pulse, noise)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    wall = float(np.median(times))
+    xrt = audio_seconds / wall
+
+    baseline_xrt = 4.644 / (27.2 + 0.65)  # measured reference (BASELINE.md)
+    print(json.dumps({
+        "metric": "harvest+requiem encode+decode xRT (audio-s/s)",
+        "value": round(xrt, 2),
+        "unit": "x realtime",
+        "vs_baseline": round(xrt / baseline_xrt, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -136,7 +136,19 @@ def smoothed_power_spectrum_half(x, fs, f0, t_pos, max_half: int, fft_size: int,
 def static_group_delay_half(centroid_half, smoothed_power_half, fs, f0,
                             fft_size: int, dtype):
     """T_D(w) (d4c.py:165-174) on half bins."""
-    gd = centroid_half / smoothed_power_half
+    # reduced-precision guards (both inactive on f64 golden fixtures; the
+    # reference divides unguarded):
+    #  1. the smoothed power can quantize to exactly 0 on dead bins — clamp
+    #     the divisor at a scale-relative tiny;
+    #  2. the resulting group delay is physically bounded by the analysis
+    #     window length (it is a weighted mean of sample positions); clip it
+    #     so one degenerate bin cannot poison the downstream smoothing
+    #     cumsum into catastrophic cancellation.
+    eps = jnp.finfo(dtype).eps
+    floor = jnp.mean(jnp.abs(smoothed_power_half), axis=-1, keepdims=True) * eps * eps
+    den = jnp.where(jnp.abs(smoothed_power_half) < floor,
+                    floor, smoothed_power_half)
+    gd = jnp.clip(centroid_half / den, -2.0 * fft_size, 2.0 * fft_size)
     # NB: group_delay here is even-symmetric; smooth at width f0/2 then f0
     gd = linear_smoothing_full_to_half(mirror_full(gd), f0 / 2, float(fs),
                                        fft_size, dtype)
@@ -167,7 +179,8 @@ def coarse_aperiodicity(group_delay_half, fs: float, fft_size: int,
     c = jnp.cumsum(sorted_power, axis=-1)
     num = c[..., fft_size // 2 - boundary - 1]
     den = c[..., -1]
-    return -10.0 * jnp.log10(num / den)
+    tiny = jnp.finfo(dtype).tiny  # 0/0 guard for all-zero bands (f32 only)
+    return -10.0 * jnp.log10((num + tiny) / (den + tiny))
 
 
 def band_window(fs: int, fft_size: int, frequency_interval: float) -> np.ndarray:

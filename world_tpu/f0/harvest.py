@@ -213,10 +213,10 @@ def _refine_task(y, actual_fs, t_i, f0_c, f0_floor, f0_ceil, max_half: int):
     im_d = s @ seg_diff
     numerator = re_s * im_d - im_s * re_d
     power = re_s ** 2 + im_s ** 2
-    inst_freq = (bins / fft_size + numerator / jnp.maximum(power, 1e-300)
+    inst_freq = (bins / fft_size + numerator / jnp.maximum(power, jnp.finfo(dtype).tiny)
                  / 2 / jnp.pi) * actual_fs
     amp = jnp.sqrt(power) * hmask
-    refined = jnp.sum(amp * inst_freq) / jnp.maximum(jnp.sum(amp * harmonics), 1e-300)
+    refined = jnp.sum(amp * inst_freq) / jnp.maximum(jnp.sum(amp * harmonics), jnp.finfo(dtype).tiny)
     variation = jnp.abs((inst_freq / harmonics - f0_safe) / f0_safe)
     score = 1.0 / (0.000000000001
                    + jnp.sum(jnp.where(hmask, variation, 0.0)) / jnp.maximum(n_harm, 1.0))
@@ -252,7 +252,7 @@ def refine_candidates(y, actual_fs, temporal_positions, cands, f0_floor, f0_ceil
 def remove_unreliable(cands, scores, threshold: float = 0.05):
     """RemoveUnreliableCandidates (harvest.py:215-234), one batched reduction."""
     C, F = cands.shape
-    ref = jnp.maximum(cands, 1e-300)
+    ref = jnp.maximum(cands, jnp.finfo(cands.dtype).tiny)
 
     def min_err_vs(other):  # other: (C, F) aligned with ref's frame axis
         # err[j, k, i] = |ref[j,i] - other[k,i]| / ref[j,i]
@@ -358,7 +358,7 @@ def _extend_chain(section_f0, origin, last_point, shift, cands, allowed_range,
         in_range = jnp.where(shift > 0, pos <= last_point + 1, pos >= last_point - 1)
         # reference adjusts last_point by +shift then iterates to it inclusive
         active = (~stopped) & in_range
-        val, _ = _select_best_f0(jnp.maximum(tmp_f0, 1e-300), cands[:, pos],
+        val, _ = _select_best_f0(jnp.maximum(tmp_f0, jnp.finfo(tmp_f0.dtype).tiny), cands[:, pos],
                                  allowed_range)
         val = jnp.where(active, val, 0.0)
         hit = active & (val != 0)

@@ -36,7 +36,7 @@ def _dft_bins(segment, bins, fft_size):
 
 def _refine_one(x, fs, current_time, current_f0, max_half: int):
     """get_refined_f0 (stonemask.py:30-76) with harmonic-bin DFTs."""
-    eps = np.finfo(np.float64).eps
+    eps = jnp.finfo(x.dtype).eps
     f0_initial = current_f0
     half_window_length = jnp.ceil(3 * fs / f0_initial / 2)
     window_length_in_time = (2 * half_window_length + 1) / fs

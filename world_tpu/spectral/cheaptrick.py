@@ -82,7 +82,13 @@ def _linear_smoothing(power_full, f0, fs, fft_size: int, dtype):
     low = interp1h_uniform(x0, df, double_segment, center - f0 / 3, last_x)
     high = interp1h_uniform(x0, df, double_segment, center + f0 / 3, last_x)
     smoothed = (high - low) * 1.5 / f0
-    return smoothed + np.finfo(np.float64).eps
+    # guard for the quantized cumsum difference: in reduced precision the
+    # high-low cancellation can dip slightly negative on noise-floor bins;
+    # floor at a scale-relative tiny (inactive in f64, where only the
+    # reference's eps guard matters)
+    eps = jnp.finfo(power_full.dtype).eps
+    floor = jnp.mean(power_full, axis=-1, keepdims=True) * eps * eps
+    return jnp.maximum(smoothed + eps, floor)
 
 
 def _smoothing_with_recovery(smoothed_full, f0, fs, fft_size: int, q1, dtype):

@@ -96,7 +96,7 @@ def _synthesis_core(f0, vuv, temporal_positions, spectrogram, aperiodicity,
 
         # ---- periodic response (synthesis.py:100-116) ----
         tmp = spec * per
-        tmp = jnp.maximum(tmp, np.finfo(np.float64).eps)
+        tmp = jnp.maximum(tmp, jnp.finfo(dtype).eps)
         mp_spec = minimum_phase_spectrum(mirror_full(tmp))
         half = mp_spec[: fft_size // 2 + 1]
         ramp = jnp.exp(-1j * (coefficient * shifts[i]) * half_k)
@@ -110,7 +110,7 @@ def _synthesis_core(f0, vuv, temporal_positions, spectrogram, aperiodicity,
 
         # ---- aperiodic response (synthesis.py:86-96) ----
         ap_spec = jnp.where(voiced, spec * aps, spec)
-        ap_spec = jnp.maximum(ap_spec, np.finfo(np.float64).eps)
+        ap_spec = jnp.maximum(ap_spec, jnp.finfo(dtype).eps)
         ap_response = jnp.fft.fftshift(
             jnp.fft.ifft(minimum_phase_spectrum(mirror_full(ap_spec))).real)
         n_noise = jnp.maximum(3, jnp.minimum(noise_size, max_noise))
