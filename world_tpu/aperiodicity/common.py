@@ -148,7 +148,11 @@ def static_group_delay_half(centroid_half, smoothed_power_half, fs, f0,
     floor = jnp.mean(jnp.abs(smoothed_power_half), axis=-1, keepdims=True) * eps * eps
     den = jnp.where(jnp.abs(smoothed_power_half) < floor,
                     floor, smoothed_power_half)
-    gd = jnp.clip(centroid_half / den, -2.0 * fft_size, 2.0 * fft_size)
+    gd = centroid_half / den
+    if jnp.dtype(dtype) == jnp.float32:
+        # f32 only: unbounded gd poisons the smoothing cumsum; f64 follows
+        # the reference's unguarded arithmetic exactly
+        gd = jnp.clip(gd, -2.0 * fft_size, 2.0 * fft_size)
     # NB: group_delay here is even-symmetric; smooth at width f0/2 then f0
     gd = linear_smoothing_full_to_half(mirror_full(gd), f0 / 2, float(fs),
                                        fft_size, dtype)
