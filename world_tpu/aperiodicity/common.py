@@ -178,11 +178,13 @@ def coarse_aperiodicity(group_delay_half, fs: float, fft_size: int,
         segs.append(gd_full[..., center - hw : center + hw + 1])
     seg = jnp.stack(segs, axis=-2) * jnp.asarray(window, dtype=dtype)
     power = jnp.abs(jnp.fft.rfft(seg, fft_size, axis=-1)) ** 2
-    # full-fft power on first half+1 bins == rfft power
-    sorted_power = jnp.sort(power, axis=-1)
-    c = jnp.cumsum(sorted_power, axis=-1)
-    num = c[..., fft_size // 2 - boundary - 1]
-    den = c[..., -1]
+    # full-fft power on first half+1 bins == rfft power.
+    # reference: cumsum(sort(power))[n - boundary - 2] / total — i.e. the sum
+    # of all but the (boundary+1) largest values.  top_k replaces the full
+    # sort (TPU sorts serialize badly; top_k with small k is fast).
+    den = jnp.sum(power, axis=-1)
+    largest, _ = jax.lax.top_k(power, boundary + 1)
+    num = den - jnp.sum(largest, axis=-1)
     tiny = jnp.finfo(dtype).tiny  # 0/0 guard for all-zero bands (f32 only)
     return -10.0 * jnp.log10((num + tiny) / (den + tiny))
 

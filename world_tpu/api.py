@@ -177,6 +177,28 @@ class World:
         dat["out"] = y
         return dat
 
+    # ------------------------------------------------------- persistence
+    @staticmethod
+    def save(dat, path):
+        """Serialize an analysis dict (the reference's users np.save by hand;
+        the dict of arrays is the only stateful artifact — the library itself
+        is stateless per call)."""
+        arrays = {k: np.asarray(v) for k, v in dat.items()
+                  if isinstance(v, (np.ndarray, jnp.ndarray))}
+        scalars = {k: v for k, v in dat.items()
+                   if not isinstance(v, (np.ndarray, jnp.ndarray))}
+        np.savez_compressed(path, __scalars__=np.asarray([repr(scalars)]),
+                            **arrays)
+
+    @staticmethod
+    def load(path):
+        import ast
+
+        g = np.load(path, allow_pickle=False)
+        out = {k: g[k] for k in g.files if k != "__scalars__"}
+        out.update(ast.literal_eval(str(g["__scalars__"][0])))
+        return out
+
     # ------------------------------------------------------------------ viz
     def draw(self, x, dat):
         """Visualize WORLD components (main.py:216-257)."""

@@ -7,6 +7,7 @@ scatter (O(n), fully parallel); downstream consumers carry a valid count.
 """
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -31,10 +32,15 @@ def zero_crossing_events(x, fs, capacity: int) -> Events:
     idx1 = jnp.arange(1, n + 1, dtype=x.dtype)
     denom = x_next - x
     fine = idx1 - x / jnp.where(denom == 0, 1.0, denom)
-    slot = jnp.where(mask, jnp.cumsum(mask) - 1, capacity + 1)
-    edges = jnp.zeros(capacity + 1, dtype=x.dtype).at[slot].set(
-        jnp.where(mask, fine, 0.0), mode="drop")
-    n_edges = jnp.minimum(jnp.sum(mask), capacity + 1)
+    # scatter-free compaction: the j-th event's position is the first index
+    # where cumsum(mask) reaches j+1 — a batched binary search (gathers only;
+    # TPU scatters/sorts would serialize)
+    c = jnp.cumsum(mask.astype(jnp.int32))
+    sel = jnp.searchsorted(c, jnp.arange(1, capacity + 2, dtype=jnp.int32),
+                           side="left")
+    n_edges = jnp.minimum(c[-1], capacity + 1)
+    in_range = jnp.arange(capacity + 1) < n_edges
+    edges = jnp.where(in_range, jnp.take(fine, jnp.minimum(sel, n - 1)), 0.0)
     locations = (edges[:-1] + edges[1:]) / 2.0 / fs
     diffs = edges[1:] - edges[:-1]
     f0 = fs / jnp.where(diffs == 0, 1.0, diffs)

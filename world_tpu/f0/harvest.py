@@ -77,7 +77,7 @@ def _band_filter_bank(boundary_f0_list: np.ndarray, actual_fs: float):
 
 def raw_band_candidates(y, actual_fs, boundary_f0_list, temporal_positions,
                         f0_floor, f0_ceil, fft_size: int, capacity: int,
-                        band_chunk: int = 16):
+                        band_chunk: int = None):
     """CalculateCandidates (harvest.py:75-84): (n_bands, n_frames) f0 means."""
     y_spectrum = jnp.fft.fft(y, fft_size)
     bank, bias = _band_filter_bank(np.asarray(boundary_f0_list), actual_fs)
@@ -108,8 +108,10 @@ def raw_band_candidates(y, actual_fs, boundary_f0_list, temporal_positions,
                | (f0c > f0_ceil) | (f0c < f0_floor))
         return jnp.where(bad, 0.0, f0c)
 
-    return jax.lax.map(one_band, (bank_dev, bias_dev, bf_dev),
-                       batch_size=band_chunk)
+    if band_chunk:  # bound working-set memory (HBM) by chunking bands
+        return jax.lax.map(one_band, (bank_dev, bias_dev, bf_dev),
+                           batch_size=band_chunk)
+    return jax.vmap(one_band)((bank_dev, bias_dev, bf_dev))
 
 
 # ---------------------------------------------------------------------------
@@ -117,7 +119,12 @@ def raw_band_candidates(y, actual_fs, boundary_f0_list, temporal_positions,
 # ---------------------------------------------------------------------------
 
 def detect_candidates(raw, max_candidates: int, threshold: int = 10):
-    """Per-frame runs of >=threshold positive bands -> mean f0 (vectorized)."""
+    """Per-frame runs of >=threshold positive bands -> mean f0.
+
+    Fully scatter-free: run boundaries come from batched binary searches over
+    per-frame cumsums (TPU scatters serialize); run sums are cumsum
+    differences.
+    """
     n_bands, n_frames = raw.shape
     max_runs = n_bands // 2 + 1
     pos = raw > 0
@@ -125,26 +132,39 @@ def detect_candidates(raw, max_candidates: int, threshold: int = 10):
     # reference zeroes the first and last band before run detection
     pos = pos & (band_idx[:, None] > 0) & (band_idx[:, None] < n_bands - 1)
     prev = jnp.concatenate([jnp.zeros((1, n_frames), bool), pos[:-1]])
-    start = pos & ~prev
-    rid = jnp.cumsum(start, axis=0) - 1          # run id per band (where pos)
-    frame_idx = jnp.broadcast_to(jnp.arange(n_frames)[None, :], raw.shape)
-    flat_id = jnp.where(pos, rid, max_runs) * n_frames + frame_idx
-    sums = jnp.zeros(max_runs * n_frames + n_frames, raw.dtype).at[
-        flat_id.reshape(-1)].add(jnp.where(pos, raw, 0.0).reshape(-1), mode="drop")
-    cnts = jnp.zeros(max_runs * n_frames + n_frames, jnp.int32).at[
-        flat_id.reshape(-1)].add(pos.astype(jnp.int32).reshape(-1), mode="drop")
-    sums = sums[: max_runs * n_frames].reshape(max_runs, n_frames)
-    cnts = cnts[: max_runs * n_frames].reshape(max_runs, n_frames)
-    qualify = cnts >= threshold
-    means = jnp.where(qualify, sums / jnp.maximum(cnts, 1), 0.0)
+    nxt = jnp.concatenate([pos[1:], jnp.zeros((1, n_frames), bool)])
+    start = (pos & ~prev).astype(jnp.int32)
+    end = (pos & ~nxt).astype(jnp.int32)
+
+    cs_start = jnp.cumsum(start, axis=0).T       # (frames, bands)
+    cs_end = jnp.cumsum(end, axis=0).T
+    q = jnp.arange(1, max_runs + 1, dtype=jnp.int32)
+    start_pos = jax.vmap(lambda c: jnp.searchsorted(c, q, side="left"))(cs_start)
+    end_pos = jax.vmap(lambda c: jnp.searchsorted(c, q, side="left"))(cs_end)
+    n_runs = cs_start[:, -1]                      # (frames,)
+    run_valid = jnp.arange(max_runs)[None, :] < n_runs[:, None]
+    start_pos = jnp.minimum(start_pos, n_bands - 1)
+    end_pos = jnp.minimum(end_pos, n_bands - 1)
+
+    raw_cs = jnp.cumsum(raw, axis=0).T            # (frames, bands)
+    zero = jnp.zeros((n_frames, 1), raw.dtype)
+    raw_cs0 = jnp.concatenate([zero, raw_cs], axis=1)
+    sums = (jnp.take_along_axis(raw_cs0, end_pos + 1, axis=1)
+            - jnp.take_along_axis(raw_cs0, start_pos, axis=1))
+    lens = end_pos - start_pos + 1
+    qualify = run_valid & (lens >= threshold)
+    means = jnp.where(qualify, sums / jnp.maximum(lens, 1), 0.0)
+
     # compact qualifying runs (in run order) to the first max_candidates rows
-    qrank = jnp.cumsum(qualify, axis=0) - 1
-    out_id = jnp.where(qualify, qrank, max_candidates) * n_frames + frame_idx[:max_runs]
-    cands = jnp.zeros(max_candidates * n_frames + n_frames, raw.dtype).at[
-        out_id.reshape(-1)].add(means.reshape(-1), mode="drop")
-    cands = cands[: max_candidates * n_frames].reshape(max_candidates, n_frames)
-    n_detected = jnp.max(jnp.sum(qualify, axis=0))
-    return cands, n_detected
+    cq = jnp.cumsum(qualify.astype(jnp.int32), axis=1)
+    qk = jnp.arange(1, max_candidates + 1, dtype=jnp.int32)
+    slot_pos = jax.vmap(lambda c: jnp.searchsorted(c, qk, side="left"))(cq)
+    slot_valid = qk[None, :] <= cq[:, -1:]
+    cands = jnp.where(slot_valid,
+                      jnp.take_along_axis(means, jnp.minimum(slot_pos, max_runs - 1),
+                                          axis=1), 0.0)
+    n_detected = jnp.max(cq[:, -1])
+    return cands.T, n_detected
 
 
 def overlap_candidates(cands, max_candidates: int, n: int = 3):
@@ -318,15 +338,16 @@ def _sections(f0, max_sections: int):
     v_next = jnp.concatenate([v[1:], jnp.asarray([False])])
     is_start = v & ~v_prev
     is_end = v & ~v_next
-    sid = jnp.cumsum(is_start) - 1
-    starts = jnp.zeros(max_sections + 1, jnp.int32).at[
-        jnp.where(is_start, sid, max_sections)].set(
-        jnp.where(is_start, i, 0).astype(jnp.int32), mode="drop")[:-1]
-    eid = jnp.cumsum(is_end) - 1
-    ends = jnp.zeros(max_sections + 1, jnp.int32).at[
-        jnp.where(is_end, eid, max_sections)].set(
-        jnp.where(is_end, i, 0).astype(jnp.int32), mode="drop")[:-1]
-    count = jnp.minimum(jnp.sum(is_start), max_sections)
+    # scatter-free compaction via binary search over cumsums
+    cs = jnp.cumsum(is_start.astype(jnp.int32))
+    ce = jnp.cumsum(is_end.astype(jnp.int32))
+    q = jnp.arange(1, max_sections + 1, dtype=jnp.int32)
+    starts = jnp.minimum(jnp.searchsorted(cs, q, side="left"), n - 1).astype(jnp.int32)
+    ends = jnp.minimum(jnp.searchsorted(ce, q, side="left"), n - 1).astype(jnp.int32)
+    count = jnp.minimum(cs[-1], max_sections)
+    valid = jnp.arange(max_sections) < count
+    starts = jnp.where(valid, starts, 0)
+    ends = jnp.where(valid, ends, 0)
     return starts, ends, count
 
 
@@ -395,12 +416,19 @@ def fix_step3(f0_step2, cands, scores, allowed_range: float = 0.18,
         pos_b, val_b, m_b, r0 = _extend_chain(
             f0_step2, st, lp_b, -1, cands, allowed_range, threshold1 + 1)
         # assemble the extended section row: base section + the two chains
+        # (gather-based: each frame looks up its chain step, no scatters)
         i = jnp.arange(n)
         row = jnp.where((i >= st) & (i <= ed), f0_step2, 0.0)
-        row = row.at[jnp.where(m_f, pos_f, n)].set(jnp.where(m_f, val_f, 0.0),
-                                                   mode="drop")
-        row = row.at[jnp.where(m_b, pos_b, n)].set(jnp.where(m_b, val_b, 0.0),
-                                                   mode="drop")
+        kf = i - ed - 1
+        okf = (kf >= 0) & (kf <= threshold1)
+        kfc = jnp.clip(kf, 0, threshold1)
+        use_f = okf & jnp.take(m_f, kfc)
+        row = jnp.where(use_f, jnp.take(val_f, kfc), row)
+        kb = st - i - 1
+        okb = (kb >= 0) & (kb <= threshold1)
+        kbc = jnp.clip(kb, 0, threshold1)
+        use_b = okb & jnp.take(m_b, kbc)
+        row = jnp.where(use_b, jnp.take(val_b, kbc), row)
         in_rng = (i >= r0) & (i <= r1)
         mean_f0 = jnp.sum(jnp.where(in_rng, row, 0.0)) / jnp.sum(in_rng)
         keep = valid & (threshold2 / mean_f0 < (r1 - r0))

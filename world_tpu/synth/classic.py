@@ -22,8 +22,11 @@ from ..dsp.windows import np_hanning_matlab
 
 
 def _time_base(temporal_positions, f0, vuv, fs, time_axis, default_f0,
-               max_pulses: int):
-    """Pulse locations from the wrapped phase (synthesis.py:120-140)."""
+               max_pulses: int, wrap_threshold=jnp.pi):
+    """Pulse locations from the wrapped phase (synthesis.py:120-140).
+
+    ``wrap_threshold`` pi/2 reproduces the older synthesis_a variant's pulse
+    detection (synthesis_a.py:113-115)."""
     f0_interp = interp1_extrap(temporal_positions, f0, time_axis)
     vuv_interp = interp1_extrap(temporal_positions, vuv, time_axis) > 0.5
     f0_interp = jnp.where(vuv_interp, f0_interp, 0.0)
@@ -32,7 +35,7 @@ def _time_base(temporal_positions, f0, vuv, fs, time_axis, default_f0,
     total_phase = jnp.cumsum(2 * jnp.pi * f0_interp / fs)
     wrap_phase = jnp.remainder(total_phase, 2 * jnp.pi)
     dwrap = jnp.abs(jnp.diff(wrap_phase))
-    mask = dwrap > jnp.pi
+    mask = dwrap > wrap_threshold
     n = mask.shape[0]
     slot = jnp.where(mask, jnp.cumsum(mask) - 1, max_pulses)
     count = jnp.minimum(jnp.sum(mask), max_pulses)
@@ -46,15 +49,19 @@ def _time_base(temporal_positions, f0, vuv, fs, time_axis, default_f0,
 
 
 @partial(jax.jit, static_argnames=("fs", "y_length", "fft_size", "max_pulses",
-                                   "max_noise", "noise_mode"))
+                                   "max_noise", "noise_mode", "variant"))
 def _synthesis_core(f0, vuv, temporal_positions, spectrogram, aperiodicity,
                     key, fs, y_length, fft_size, max_pulses, max_noise,
-                    noise_mode):
+                    noise_mode, variant="standard"):
     dtype = spectrogram.dtype
     default_f0 = 500.0
     time_axis = jnp.arange(y_length, dtype=dtype) / fs + temporal_positions[0]
+    wrap_threshold = jnp.pi if variant == "standard" else jnp.pi / 2
     pulse_locations, pli, shifts, vuv_interp, count = _time_base(
-        temporal_positions, f0, vuv, float(fs), time_axis, default_f0, max_pulses)
+        temporal_positions, f0, vuv, float(fs), time_axis, default_f0,
+        max_pulses, wrap_threshold)
+    if variant == "a":  # synthesis_a: no fractional time shift
+        shifts = jnp.zeros_like(shifts)
 
     n_frames = temporal_positions.shape[0]
     tpi = interp1_extrap(temporal_positions,
@@ -92,7 +99,9 @@ def _synthesis_core(f0, vuv, temporal_positions, spectrogram, aperiodicity,
         aps = a * amp_ap[:, floor_i] + b * amp_ap[:, ceil_i]
 
         noise_size = noise_sizes[i]
-        voiced = (jnp.take(vuv_interp, pli[i] - 1)) & (aps[0] <= 0.999)
+        voiced = jnp.take(vuv_interp, pli[i] - 1)
+        if variant == "standard":  # synthesis_a has no aperiodicity gate
+            voiced = voiced & (aps[0] <= 0.999)
 
         # ---- periodic response (synthesis.py:100-116) ----
         tmp = spec * per
@@ -136,8 +145,13 @@ def _synthesis_core(f0, vuv, temporal_positions, spectrogram, aperiodicity,
 
 
 def synthesis(source_object, filter_object, key=None, noise_mode="gaussian",
-              max_pulses=None):
-    """Waveform synthesis (API mirrors synthesis.py:21-82)."""
+              max_pulses=None, variant="standard"):
+    """Waveform synthesis (API mirrors synthesis.py:21-82).
+
+    ``variant='a'`` reproduces the historical synthesis_a.py behavior
+    (pi/2 pulse threshold, no fractional shift, no aperiodicity VUV gate;
+    synthesis_a.py:59-116) — kept for completeness, not used by World.decode,
+    matching the reference where it is dead code."""
     f0 = np.asarray(source_object["f0"], dtype=np.float64)
     vuv = np.asarray(source_object["vuv"], dtype=np.float64)
     tp = np.asarray(source_object["temporal_positions"], dtype=np.float64)
@@ -158,4 +172,11 @@ def synthesis(source_object, filter_object, key=None, noise_mode="gaussian",
         jnp.asarray(f0, spectrogram.dtype),
         jnp.asarray(vuv, spectrogram.dtype), jnp.asarray(tp, spectrogram.dtype),
         spectrogram, aperiodicity, key, fs, time_axis_len, fft_size,
-        max_pulses, max_noise, noise_mode)
+        max_pulses, max_noise, noise_mode, variant)
+
+
+def synthesis_a(source_object, filter_object, key=None, noise_mode="gaussian",
+                max_pulses=None):
+    """The historical synthesis variant (synthesis_a.py:21-101)."""
+    return synthesis(source_object, filter_object, key=key,
+                     noise_mode=noise_mode, max_pulses=max_pulses, variant="a")
