@@ -65,8 +65,10 @@ def interp1h_uniform(x0, dx, y, xi, last_x):
     base_i = jnp.clip(base.astype(jnp.int32), 0, n - 1)
     next_i = jnp.minimum(base_i + 1, n - 1)
     if y.ndim > 1:
-        y_b = jnp.take_along_axis(y, base_i, axis=-1)
-        y_n = jnp.take_along_axis(y, next_i, axis=-1)
+        from .scanops import take_rows  # flat gather; take_along_axis is slow on TPU
+
+        y_b = take_rows(y, base_i)
+        y_n = take_rows(y, next_i)
     else:
         y_b = jnp.take(y, base_i)
         y_n = jnp.take(y, next_i)

@@ -1,0 +1,86 @@
+"""TPU-fast scan/search primitives.
+
+XLA's stock lowerings for cumsum (sequential/reduce-window) and
+jnp.searchsorted ('scan' loop) are pathologically slow on TPU.  These
+replacements map the same math onto what the hardware likes:
+
+  * matmul_cumsum: blocked prefix sum — within-block prefix via a lower-
+    triangular matmul (MXU), across-block offsets via a tiny cumsum.
+  * searchsorted_rows: batched binary search with statically-unrolled steps
+    and FLAT 1-D gathers (arbitrary 1-D gathers are fast; take_along_axis
+    and lax.scan-based searches are not).
+"""
+import jax.numpy as jnp
+import numpy as np
+
+
+def matmul_cumsum(x, block: int = 256):
+    """Inclusive cumsum along the last axis via triangular matmuls.
+
+    Exact for integer-valued inputs below the dtype's integer range; for
+    floats the summation order differs from sequential cumsum by blocked
+    association (same class of reordering XLA's own tree cumsum performs).
+    Integer inputs are computed in f32 when safe (counts < 2^24) or f64.
+    """
+    x = jnp.asarray(x)
+    orig_dtype = x.dtype
+    if jnp.issubdtype(orig_dtype, jnp.integer) or orig_dtype == jnp.bool_:
+        compute = jnp.float32 if x.shape[-1] < (1 << 24) else jnp.float64
+        x = x.astype(compute)
+    n = x.shape[-1]
+    pad = (-n) % block
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    nb = (n + pad) // block
+    blocks = xp.reshape(x.shape[:-1] + (nb, block))
+    tri = jnp.asarray(np.tril(np.ones((block, block))), dtype=x.dtype)
+    within = jnp.einsum("...k,jk->...j", blocks, tri,
+                        preferred_element_type=x.dtype)
+    block_tot = within[..., -1]
+    offsets = jnp.cumsum(block_tot, axis=-1) - block_tot  # tiny: nb elements
+    out = (within + offsets[..., None]).reshape(xp.shape)[..., :n]
+    if jnp.issubdtype(orig_dtype, jnp.integer):
+        out = out.astype(orig_dtype)
+    elif orig_dtype == jnp.bool_:
+        out = out.astype(jnp.int32)
+    return out
+
+
+def searchsorted_rows(a, v, side: str = "left", n_steps: int = None):
+    """Row-wise searchsorted: a (R, N) sorted rows, v (R, Q) or (Q,) queries.
+
+    Returns (R, Q) insertion indices, identical to
+    vmap(jnp.searchsorted)(a, v) but via an unrolled binary search with flat
+    gathers.
+    """
+    a = jnp.asarray(a)
+    v = jnp.asarray(v)
+    R, N = a.shape
+    if v.ndim == 1:
+        v = jnp.broadcast_to(v[None, :], (R, v.shape[0]))
+    flat = a.reshape(-1)
+    row_off = (jnp.arange(R) * N)[:, None]
+    if n_steps is None:
+        n_steps = int(np.ceil(np.log2(N + 1)))
+    lo = jnp.zeros(v.shape, jnp.int32)           # lower bound (insertion >= lo)
+    hi = jnp.full(v.shape, N, jnp.int32)         # upper bound
+    for _ in range(n_steps):
+        mid = (lo + hi) // 2
+        am = jnp.take(flat, row_off + jnp.minimum(mid, N - 1))
+        go_right = (am < v) if side == "left" else (am <= v)
+        go_right = go_right & (mid < hi)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, jnp.minimum(mid, hi))
+    return lo
+
+
+def take_rows(y, idx):
+    """take_along_axis(y, idx, axis=-1) via a flat 1-D gather (TPU-fast).
+
+    y: (..., N); idx: (..., Q) int32 indices into the last axis.
+    """
+    y = jnp.asarray(y)
+    n = y.shape[-1]
+    lead = y.shape[:-1]
+    flat = y.reshape(-1)
+    row_off = (jnp.arange(int(np.prod(lead))) * n).reshape(lead)[..., None]
+    return jnp.take(flat, row_off + idx)

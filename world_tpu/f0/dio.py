@@ -20,58 +20,62 @@ import numpy as np
 from ..dsp.iir import decimate_world
 from ..dsp.rounding import round_half_even_decimals
 from ..dsp.windows import np_hanning_matlab, np_nuttall
-from .common import band_filter_bank_spectra, filter_bands, four_event_candidates
 
 
 # ---------------------------------------------------------------------------
 # candidate generation
 # ---------------------------------------------------------------------------
 
-def _get_spectrum(y, actual_fs: float, f0_floor: float, fft_size: int):
-    """Low-cut filtered full-signal spectrum (dio.py:74-88)."""
+def _low_cut_taps(actual_fs: float):
+    """The low-cut FIR of get_spectrum (dio.py:80-85), un-rolled taps + the
+    circular-shift offset the reference's spectrum-domain roll induces."""
     cutoff_in_sample = int(actual_fs / 50 + 0.5)
-    lcf = np.zeros(fft_size)
     w = np_hanning_matlab(2 * cutoff_in_sample + 1)
-    w = -w / w.sum()
-    lcf[: 2 * cutoff_in_sample + 1] = w
-    lcf[cutoff_in_sample] += 1.0
-    lcf = np.r_[lcf[cutoff_in_sample:], lcf[:cutoff_in_sample]]
-    return jnp.fft.fft(y, fft_size) * jnp.fft.fft(jnp.asarray(lcf, dtype=y.dtype), fft_size)
+    taps = -w / w.sum()
+    taps[cutoff_in_sample] += 1.0
+    return taps, cutoff_in_sample
 
 
-def _band_windows(boundary_f0_list: np.ndarray, actual_fs: float):
-    """Static per-band Nuttall low-pass FIRs, padded + argmax biases."""
+def _band_bank(boundary_f0_list: np.ndarray, actual_fs: float):
+    """Combined (low-cut * band-lowpass) FIR bank + per-band read offsets.
+
+    The reference multiplies three spectra (signal, rolled low-cut, band
+    low-pass) at full-signal FFT size (dio.py:87,132-134); that equals one
+    linear convolution with host-combined taps read at offset
+    argmax(band)+1+cutoff.
+    """
+    lcf, cutoff = _low_cut_taps(actual_fs)
     lens = [int(actual_fs / bf / 2 + 0.5) * 4 for bf in boundary_f0_list]
-    max_len = max(lens)
+    combined = [np.convolve(lcf, np_nuttall(n)) for n in lens]
+    max_len = max(len(c) for c in combined)
     bank = np.zeros((len(lens), max_len))
-    bias = np.zeros(len(lens), dtype=np.int64)
-    for i, n in enumerate(lens):
-        win = np_nuttall(n)
-        bank[i, :n] = win
-        bias[i] = int(np.argmax(win))
-    return bank, bias
+    offsets = np.zeros(len(lens), dtype=np.int64)
+    for i, (c, n) in enumerate(zip(combined, lens)):
+        bank[i, : len(c)] = c
+        offsets[i] = int(np.argmax(np_nuttall(n))) + 1 + cutoff
+    return bank, offsets
 
 
 def _candidates_and_stability(y, actual_fs, f0_floor, f0_ceil, boundary_f0_list,
                               temporal_positions, capacity):
-    fft_size = 2 ** math.ceil(math.log2(
-        y.shape[0] + int(actual_fs / f0_floor / 2 + 0.5) * 4))
-    y_spectrum = _get_spectrum(y, actual_fs, f0_floor, fft_size)
-    bank, bias = _band_windows(boundary_f0_list, actual_fs)
-    band_spectra = band_filter_bank_spectra(bank, fft_size).astype(y_spectrum.dtype)
-    filtered = filter_bands(y_spectrum, band_spectra, bias, y.shape[0], start_offset=1)
+    from ..dsp.fir import fir_bank_full
+    from ..dsp.scanops import take_rows
+    from .events import four_event_interp
 
-    def per_band(sig, boundary_f0):
-        f0c, dev = four_event_candidates(sig, actual_fs, temporal_positions, capacity)
-        bad = ((f0c > boundary_f0) | (f0c < boundary_f0 / 2)
-               | (f0c > f0_ceil) | (f0c < f0_floor))
-        f0c = jnp.where(bad, 0.0, f0c)
-        dev = jnp.where(f0c == 0, 100000.0, dev)
-        stability = jnp.exp(-(dev / jnp.maximum(f0c, 0.0000001)))
-        return f0c, stability
+    bank, offsets = _band_bank(boundary_f0_list, actual_fs)
+    y_len = y.shape[0]
+    conv = fir_bank_full(y, bank)
+    starts = jnp.asarray(offsets, jnp.int32)[:, None]
+    filtered = take_rows(conv, starts + jnp.arange(y_len, dtype=jnp.int32)[None, :])
 
-    bf = jnp.asarray(boundary_f0_list, dtype=y.dtype)
-    return jax.vmap(per_band)(filtered, bf)
+    f0c, dev, _ = four_event_interp(filtered, actual_fs, temporal_positions,
+                                    capacity)
+    bf = jnp.asarray(boundary_f0_list, dtype=y.dtype)[:, None]
+    bad = ((f0c > bf) | (f0c < bf / 2) | (f0c > f0_ceil) | (f0c < f0_floor))
+    f0c = jnp.where(bad, 0.0, f0c)
+    dev = jnp.where(f0c == 0, 100000.0, dev)
+    stability = jnp.exp(-(dev / jnp.maximum(f0c, 0.0000001)))
+    return f0c, stability
 
 
 # ---------------------------------------------------------------------------

@@ -78,40 +78,31 @@ def _band_filter_bank(boundary_f0_list: np.ndarray, actual_fs: float):
 def raw_band_candidates(y, actual_fs, boundary_f0_list, temporal_positions,
                         f0_floor, f0_ceil, fft_size: int, capacity: int,
                         band_chunk: int = None):
-    """CalculateCandidates (harvest.py:75-84): (n_bands, n_frames) f0 means."""
-    y_spectrum = jnp.fft.fft(y, fft_size)
+    """CalculateCandidates (harvest.py:75-84): (n_bands, n_frames) f0 means.
+
+    Band filtering runs as ONE im2col matmul (dsp.fir) — the reference's
+    zero-padded FFT products (harvest.py:259-261) compute the identical
+    linear convolution but XLA's large 1-D FFTs are ~100x slower on TPU than
+    this MXU formulation.  Events/interp run batched over all bands
+    (f0.events).
+    """
+    from .events import four_event_interp
+    from ..dsp.fir import fir_bank_full
+    from ..dsp.scanops import take_rows
+
+    del fft_size, band_chunk  # retained for API compat; unused in conv path
     bank, bias = _band_filter_bank(np.asarray(boundary_f0_list), actual_fs)
-    bank_dev = jnp.asarray(bank, dtype=y.dtype)
-    bias_dev = jnp.asarray(bias)
-    bf_dev = jnp.asarray(boundary_f0_list, dtype=y.dtype)
     y_len = y.shape[0]
+    conv = fir_bank_full(y, bank)                       # (B, y_len + L - 1)
+    starts = jnp.asarray(bias, jnp.int32)[:, None]      # filtered[i]=conv[b, bias+i]
+    filtered = take_rows(conv, starts + jnp.arange(y_len, dtype=jnp.int32)[None, :])
 
-    def one_band(args):
-        win, b, bf = args
-        spec = jnp.fft.fft(win, fft_size)
-        filtered_full = jnp.fft.ifft(spec * y_spectrum).real
-        filtered = jax.lax.dynamic_slice_in_dim(filtered_full, b, y_len)
-        d = jnp.diff(filtered)
-        events = [
-            zero_crossing_events(filtered, actual_fs, capacity),
-            zero_crossing_events(-filtered, actual_fs, capacity),
-            zero_crossing_events(d, actual_fs, capacity),
-            zero_crossing_events(-d, actual_fs, capacity),
-        ]
-        usable = jnp.all(jnp.stack([e.count for e in events]) >= 3)
-        interps = jnp.stack([
-            interp1_extrap(e.locations, e.f0, temporal_positions,
-                           valid_count=jnp.maximum(e.count, 2))
-            for e in events])
-        f0c = jnp.where(usable, jnp.mean(interps, axis=0), 0.0)
-        bad = ((f0c > bf * 1.1) | (f0c < bf * 0.9)
-               | (f0c > f0_ceil) | (f0c < f0_floor))
-        return jnp.where(bad, 0.0, f0c)
-
-    if band_chunk:  # bound working-set memory (HBM) by chunking bands
-        return jax.lax.map(one_band, (bank_dev, bias_dev, bf_dev),
-                           batch_size=band_chunk)
-    return jax.vmap(one_band)((bank_dev, bias_dev, bf_dev))
+    f0c, _, usable = four_event_interp(filtered, actual_fs, temporal_positions,
+                                       capacity)
+    bf = jnp.asarray(boundary_f0_list, dtype=y.dtype)[:, None]
+    bad = ((f0c > bf * 1.1) | (f0c < bf * 0.9)
+           | (f0c > f0_ceil) | (f0c < f0_floor))
+    return jnp.where(bad, 0.0, f0c)
 
 
 # ---------------------------------------------------------------------------
@@ -136,11 +127,13 @@ def detect_candidates(raw, max_candidates: int, threshold: int = 10):
     start = (pos & ~prev).astype(jnp.int32)
     end = (pos & ~nxt).astype(jnp.int32)
 
+    from ..dsp.scanops import searchsorted_rows, take_rows
+
     cs_start = jnp.cumsum(start, axis=0).T       # (frames, bands)
     cs_end = jnp.cumsum(end, axis=0).T
     q = jnp.arange(1, max_runs + 1, dtype=jnp.int32)
-    start_pos = jax.vmap(lambda c: jnp.searchsorted(c, q, side="left"))(cs_start)
-    end_pos = jax.vmap(lambda c: jnp.searchsorted(c, q, side="left"))(cs_end)
+    start_pos = searchsorted_rows(cs_start, q, side="left")
+    end_pos = searchsorted_rows(cs_end, q, side="left")
     n_runs = cs_start[:, -1]                      # (frames,)
     run_valid = jnp.arange(max_runs)[None, :] < n_runs[:, None]
     start_pos = jnp.minimum(start_pos, n_bands - 1)
@@ -149,8 +142,7 @@ def detect_candidates(raw, max_candidates: int, threshold: int = 10):
     raw_cs = jnp.cumsum(raw, axis=0).T            # (frames, bands)
     zero = jnp.zeros((n_frames, 1), raw.dtype)
     raw_cs0 = jnp.concatenate([zero, raw_cs], axis=1)
-    sums = (jnp.take_along_axis(raw_cs0, end_pos + 1, axis=1)
-            - jnp.take_along_axis(raw_cs0, start_pos, axis=1))
+    sums = (take_rows(raw_cs0, end_pos + 1) - take_rows(raw_cs0, start_pos))
     lens = end_pos - start_pos + 1
     qualify = run_valid & (lens >= threshold)
     means = jnp.where(qualify, sums / jnp.maximum(lens, 1), 0.0)
@@ -158,11 +150,10 @@ def detect_candidates(raw, max_candidates: int, threshold: int = 10):
     # compact qualifying runs (in run order) to the first max_candidates rows
     cq = jnp.cumsum(qualify.astype(jnp.int32), axis=1)
     qk = jnp.arange(1, max_candidates + 1, dtype=jnp.int32)
-    slot_pos = jax.vmap(lambda c: jnp.searchsorted(c, qk, side="left"))(cq)
+    slot_pos = searchsorted_rows(cq, qk, side="left")
     slot_valid = qk[None, :] <= cq[:, -1:]
     cands = jnp.where(slot_valid,
-                      jnp.take_along_axis(means, jnp.minimum(slot_pos, max_runs - 1),
-                                          axis=1), 0.0)
+                      take_rows(means, jnp.minimum(slot_pos, max_runs - 1)), 0.0)
     n_detected = jnp.max(cq[:, -1])
     return cands.T, n_detected
 
@@ -339,11 +330,15 @@ def _sections(f0, max_sections: int):
     is_start = v & ~v_prev
     is_end = v & ~v_next
     # scatter-free compaction via binary search over cumsums
+    from ..dsp.scanops import searchsorted_rows
+
     cs = jnp.cumsum(is_start.astype(jnp.int32))
     ce = jnp.cumsum(is_end.astype(jnp.int32))
     q = jnp.arange(1, max_sections + 1, dtype=jnp.int32)
-    starts = jnp.minimum(jnp.searchsorted(cs, q, side="left"), n - 1).astype(jnp.int32)
-    ends = jnp.minimum(jnp.searchsorted(ce, q, side="left"), n - 1).astype(jnp.int32)
+    starts = jnp.minimum(searchsorted_rows(cs[None, :], q[None, :])[0],
+                         n - 1).astype(jnp.int32)
+    ends = jnp.minimum(searchsorted_rows(ce[None, :], q[None, :])[0],
+                       n - 1).astype(jnp.int32)
     count = jnp.minimum(cs[-1], max_sections)
     valid = jnp.arange(max_sections) < count
     starts = jnp.where(valid, starts, 0)
