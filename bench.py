@@ -39,15 +39,17 @@ def main():
                                   max_candidates=max_candidates,
                                   max_sections=256)
 
-    # compile + warmup
+    # compile + warmup (sync via a device-side checksum: block_until_ready
+    # on a dict proved unreliable through the remote-device tunnel)
     out = step(xj, pulse, noise)
-    jax.block_until_ready(out)
+    float(jnp.sum(out["y"]))
 
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         out = step(xj, pulse, noise)
-        jax.block_until_ready(out)
+        float(jnp.sum(out["y"]) + jnp.sum(out["f0"])
+              + jnp.sum(out["spectrogram"]) + jnp.sum(out["band_aperiodicity"]))
         times.append(time.perf_counter() - t0)
     wall = float(np.median(times))
     xrt = audio_seconds / wall

@@ -1,10 +1,10 @@
-"""Shared D4C machinery (classic + Requiem), batched over frames.
+"""Shared D4C machinery (classic + Requiem), explicitly batched over frames.
 
 Semantics from /root/reference/world/d4c.py / d4cRequiem.py; execution is
-TPU-first: per-frame windowed waveforms are masked fixed-shape gathers, all
-FFTs are batched rFFTs at a static size, the group-delay smoothing is a
-batched cumsum, and the per-band aperiodicity extraction vectorizes over
-(frame, band).
+TPU-first AND batch-first: every stage takes (F, ...) arrays so that signal
+gathers lower to flat 1-D-operand gathers, row lookups use take_rows, and
+cumulative sums use the triangular-matmul prefix (vmapped per-frame code
+hides the batch from XLA and falls onto slow gather/scan lowerings).
 
 Key reformulation notes:
   * The centroid spectrum -Im(W)Re(S)+Im(S)Re(W) with W=FFT(-x*t*1j) equals
@@ -13,6 +13,8 @@ Key reformulation notes:
     in-window position (t = base_index + half + 1).
   * dc_correction / linear_smoothing run on half spectra and mirror at the
     end (they are even-symmetric by construction).
+  * get_coarse_aperiodicity's sorted-cumsum ratio equals
+    (total - sum_of_(boundary+1)_largest)/total -> top_k, no sort.
 """
 import math
 
@@ -20,10 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..dsp.interp import interp1h_uniform
 from ..dsp.minphase import mirror_full
+from ..dsp.scanops import matmul_cumsum, take_rows
 from ..dsp.windows import np_nuttall
-from ..frames import windowed_segment
+from ..frames import windowed_segment_batch
 
 
 def d4c_fft_size(fs: int) -> int:
@@ -34,87 +36,102 @@ def love_train_fft_size(fs: int) -> int:
     return int(2 ** np.ceil(np.log2(3 * fs / 40 + 1)))
 
 
-def _uniform_extrap_interp(y, x0, dx, m, xq, n_static: int):
-    pos = (xq - x0) / dx
-    base = jnp.clip(jnp.floor(pos), 0, m - 2)
-    frac = pos - base
-    b = base.astype(jnp.int32)
-    y0 = jnp.take(y, b)
-    y1 = jnp.take(y, jnp.minimum(b + 1, n_static - 1))
-    return y0 + (y1 - y0) * frac
-
-
 def dc_correction_half(signal_half, f0, fs, fft_size: int, dtype):
-    """Low-frequency mirror fill (d4c.py:213-222) on the half spectrum.
+    """Low-frequency mirror fill (d4c.py:213-222), batched on half spectra.
 
-    in_low set: freqs < 1.2*f0; added where freqs < f0.
+    signal_half: (F, kmax); f0: (F,).  in_low set: freqs < 1.2*f0; replica
+    added where freqs < f0.
     """
     df = fs / fft_size
     kmax = fft_size // 2 + 1
-    k = jnp.arange(kmax, dtype=dtype)
+    k = jnp.arange(kmax, dtype=dtype)[None, :]
     freqs = k * df
-    in_low = freqs < 1.2 * f0
-    m = jnp.sum(in_low)
-    x0 = f0 - (m - 1) * df
+    f0c = f0[:, None]
+    in_low = freqs < 1.2 * f0c
+    m = jnp.sum(in_low, axis=1, keepdims=True)
+    x0 = f0c - (m - 1) * df
     y_src = jnp.where(in_low, signal_half, 0.0)
-    j = jnp.arange(kmax)
+    j = jnp.arange(kmax)[None, :]
     src_idx = jnp.clip(m - 1 - j, 0, kmax - 1)
-    y_asc = jnp.take(y_src, src_idx)
-    replica = _uniform_extrap_interp(y_asc, x0, df, m, freqs, kmax)
-    return signal_half + jnp.where(freqs < f0, replica, 0.0)
+    y_asc = take_rows(y_src, src_idx)
+    # linear interp on the ascending uniform grid with end extrapolation
+    pos = (freqs - x0) / df
+    base = jnp.clip(jnp.floor(pos), 0, m - 2)
+    frac = pos - base
+    b = base.astype(jnp.int32)
+    y0 = take_rows(y_asc, b)
+    y1 = take_rows(y_asc, jnp.minimum(b + 1, kmax - 1))
+    replica = y0 + (y1 - y0) * frac
+    return signal_half + jnp.where(freqs < f0c, replica, 0.0)
 
 
 def linear_smoothing_full_to_half(signal_full, width, fs, fft_size: int, dtype):
     """Rectangular smoothing of an even full spectrum (d4c.py:178-188).
 
-    signal_full: (..., fft_size); returns (..., fft_size//2+1).
+    signal_full: (F, fft_size); width: (F,) or scalar.
+    Returns (F, fft_size//2+1).
     """
     df = fs / fft_size
+    width = jnp.asarray(width)
+    if width.ndim == 1:
+        width = width[:, None]
     double_spectrum = jnp.concatenate([signal_full, signal_full], axis=-1)
-    double_segment = jnp.cumsum(double_spectrum * df, axis=-1)
+    double_segment = matmul_cumsum(double_spectrum * df)
     x0 = -fs + df / 2
     last_x = x0 + (2 * fft_size - 1) * df
-    center = jnp.arange(fft_size // 2 + 1, dtype=dtype) * df
-    low = interp1h_uniform(x0, df, double_segment, center - width / 2, last_x)
-    high = interp1h_uniform(x0, df, double_segment, center + width / 2, last_x)
+    center = jnp.arange(fft_size // 2 + 1, dtype=dtype)[None, :] * df
+
+    def interp(xq):
+        xq = jnp.maximum(x0, jnp.minimum(last_x, xq))
+        pos = (xq - x0) / df
+        base = jnp.floor(pos)
+        frac = pos - base
+        b = jnp.clip(base.astype(jnp.int32), 0, 2 * fft_size - 1)
+        nb = jnp.minimum(b + 1, 2 * fft_size - 1)
+        y0 = take_rows(double_segment, b)
+        y1 = take_rows(double_segment, nb)
+        delta = jnp.where(b >= 2 * fft_size - 1, 0.0, y1 - y0)
+        return y0 + delta * frac
+
+    low = interp(center - width / 2)
+    high = interp(center + width / 2)
     return (high - low) / width
 
 
 def love_train_vuv(x, fs, f0, temporal_positions, threshold, max_half: int,
                    fft_size_lt: int):
-    """'Love Train' VUV decision per frame (d4c.py:68-88), batched."""
+    """'Love Train' VUV decision per frame (d4c.py:68-88), batched.
+
+    The cumulative-power ratio needs only two prefix sums at static bin
+    boundaries — plain slice-sums, no cumsum at all.
+    """
     dtype = x.dtype
     df = fs / fft_size_lt
     b0 = int(np.ceil(100 / df) + 1)
     b1 = int(np.ceil(4000 / df) + 1)
     b2 = int(np.ceil(7900 / df) + 1)
 
-    def per_frame(f0_i, t_i):
-        f0_c = jnp.maximum(f0_i, 40.0)
-        waveform, _, _ = windowed_segment(
-            x, float(fs), f0_c, t_i, 1.5, max_half, "blackman",
-            sub_sample_shift=True)
-        spec = jnp.fft.rfft(waveform, fft_size_lt)
-        power = jnp.abs(spec) ** 2
-        k = jnp.arange(power.shape[0])
-        power = jnp.where(k < b0, 0.0, power)
-        c = jnp.cumsum(power)
-        return (c[b1 - 1] / c[b2 - 1]) > threshold
-
-    vuv = jax.vmap(per_frame)(f0, temporal_positions.astype(dtype))
-    return vuv & (f0 != 0)
+    f0_c = jnp.maximum(f0, 40.0)
+    waveform, _, _ = windowed_segment_batch(
+        x, float(fs), f0_c, temporal_positions.astype(dtype), 1.5, max_half,
+        "blackman", sub_sample_shift=True)
+    spec = jnp.fft.rfft(waveform, fft_size_lt, axis=-1)
+    power = jnp.abs(spec) ** 2
+    s1 = jnp.sum(power[:, b0:b1], axis=1)
+    s2 = s1 + jnp.sum(power[:, b1:b2], axis=1)
+    return ((s1 / s2) > threshold) & (f0 != 0)
 
 
 def _centroid_half(x, fs, f0, t_pos, max_half: int, fft_size: int):
-    """get_centroid for one shifted window (d4c.py:132-153) on half bins."""
-    waveform, mask, _ = windowed_segment(
+    """get_centroid for one shifted window set (d4c.py:132-153), batched."""
+    waveform, mask, _ = windowed_segment_batch(
         x, float(fs), f0, t_pos, 2.0, max_half, "blackman", sub_sample_shift=True)
-    half = jnp.floor(2.0 * fs / f0 + 0.5)
-    base_index = jnp.arange(-max_half, max_half + 1, dtype=x.dtype)
+    half = jnp.floor(2.0 * fs / f0 + 0.5)[:, None]
+    base_index = jnp.arange(-max_half, max_half + 1, dtype=x.dtype)[None, :]
     t_true = jnp.where(mask, base_index + half + 1, 0.0)
-    xn = waveform / jnp.sqrt(jnp.sum(waveform ** 2))
-    S = jnp.fft.rfft(xn, fft_size)
-    U = jnp.fft.rfft(xn * t_true, fft_size)
+    xn = waveform / jnp.sqrt(jnp.sum(waveform ** 2, axis=1, keepdims=True))
+    S = jnp.fft.rfft(xn, fft_size, axis=-1)
+    U = jnp.fft.rfft(xn * t_true, fft_size, axis=-1)
     return S.real * U.real + S.imag * U.imag
 
 
@@ -124,10 +141,11 @@ def static_centroid_half(x, fs, f0, t_pos, max_half: int, fft_size: int, dtype):
     return dc_correction_half(c1 + c2, f0, float(fs), fft_size, dtype)
 
 
-def smoothed_power_spectrum_half(x, fs, f0, t_pos, max_half: int, fft_size: int, dtype):
-    waveform, _, _ = windowed_segment(
+def smoothed_power_spectrum_half(x, fs, f0, t_pos, max_half: int, fft_size: int,
+                                 dtype):
+    waveform, _, _ = windowed_segment_batch(
         x, float(fs), f0, t_pos, 2.0, max_half, "hanning", sub_sample_shift=True)
-    power = jnp.abs(jnp.fft.rfft(waveform, fft_size)) ** 2
+    power = jnp.abs(jnp.fft.rfft(waveform, fft_size, axis=-1)) ** 2
     power = dc_correction_half(power, f0, float(fs), fft_size, dtype)
     return linear_smoothing_full_to_half(mirror_full(power), f0, float(fs),
                                          fft_size, dtype)
@@ -135,25 +153,21 @@ def smoothed_power_spectrum_half(x, fs, f0, t_pos, max_half: int, fft_size: int,
 
 def static_group_delay_half(centroid_half, smoothed_power_half, fs, f0,
                             fft_size: int, dtype):
-    """T_D(w) (d4c.py:165-174) on half bins."""
+    """T_D(w) (d4c.py:165-174) on half bins, batched."""
     # reduced-precision guards (both inactive on f64 golden fixtures; the
     # reference divides unguarded):
     #  1. the smoothed power can quantize to exactly 0 on dead bins — clamp
     #     the divisor at a scale-relative tiny;
     #  2. the resulting group delay is physically bounded by the analysis
-    #     window length (it is a weighted mean of sample positions); clip it
-    #     so one degenerate bin cannot poison the downstream smoothing
-    #     cumsum into catastrophic cancellation.
+    #     window length; clip it in f32 so one degenerate bin cannot poison
+    #     the downstream smoothing cumsum into catastrophic cancellation.
     eps = jnp.finfo(dtype).eps
     floor = jnp.mean(jnp.abs(smoothed_power_half), axis=-1, keepdims=True) * eps * eps
     den = jnp.where(jnp.abs(smoothed_power_half) < floor,
                     floor, smoothed_power_half)
     gd = centroid_half / den
     if jnp.dtype(dtype) == jnp.float32:
-        # f32 only: unbounded gd poisons the smoothing cumsum; f64 follows
-        # the reference's unguarded arithmetic exactly
         gd = jnp.clip(gd, -2.0 * fft_size, 2.0 * fft_size)
-    # NB: group_delay here is even-symmetric; smooth at width f0/2 then f0
     gd = linear_smoothing_full_to_half(mirror_full(gd), f0 / 2, float(fs),
                                        fft_size, dtype)
     gd_s = linear_smoothing_full_to_half(mirror_full(gd), f0, float(fs),
@@ -164,9 +178,9 @@ def static_group_delay_half(centroid_half, smoothed_power_half, fs, f0,
 def coarse_aperiodicity(group_delay_half, fs: float, fft_size: int,
                         frequency_interval: float, n_ap: int, window: np.ndarray,
                         dtype):
-    """Per-band aperiodicity from the group delay (d4c.py:192-209).
+    """Per-band aperiodicity from the group delay (d4c.py:192-209), batched.
 
-    group_delay_half: (..., fft//2+1).  Returns (..., n_ap).
+    group_delay_half: (F, fft//2+1).  Returns (F, n_ap).
     """
     wlen = len(window)
     boundary = int(fft_size / wlen * 8 + 0.5)
@@ -178,7 +192,6 @@ def coarse_aperiodicity(group_delay_half, fs: float, fft_size: int,
         segs.append(gd_full[..., center - hw : center + hw + 1])
     seg = jnp.stack(segs, axis=-2) * jnp.asarray(window, dtype=dtype)
     power = jnp.abs(jnp.fft.rfft(seg, fft_size, axis=-1)) ** 2
-    # full-fft power on first half+1 bins == rfft power.
     # reference: cumsum(sort(power))[n - boundary - 2] / total — i.e. the sum
     # of all but the (boundary+1) largest values.  top_k replaces the full
     # sort (TPU sorts serialize badly; top_k with small k is fast).
@@ -194,9 +207,9 @@ def band_window(fs: int, fft_size: int, frequency_interval: float) -> np.ndarray
     return np_nuttall(wl)
 
 
-def coarse_ap_one_frame(x, fs, f0, t_pos, frequency_interval, fft_size: int,
-                        n_ap: int, window: np.ndarray, max_half: int, dtype):
-    """estimate_one_slice (d4c.py:114-128) for one frame."""
+def coarse_ap_frames(x, fs, f0, t_pos, frequency_interval, fft_size: int,
+                     n_ap: int, window: np.ndarray, max_half: int, dtype):
+    """estimate_one_slice (d4c.py:114-128) for all frames at once."""
     centroid = static_centroid_half(x, fs, f0, t_pos, max_half, fft_size, dtype)
     spsh = smoothed_power_spectrum_half(x, fs, f0, t_pos, max_half, fft_size, dtype)
     gd = static_group_delay_half(centroid, spsh, fs, f0, fft_size, dtype)

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import (band_window, coarse_ap_one_frame, d4c_fft_size,
+from .common import (band_window, coarse_ap_frames, d4c_fft_size,
                      love_train_fft_size, love_train_vuv)
 
 
@@ -30,14 +30,13 @@ def _d4c_core(x, fs, f0_seq, temporal_positions, fft_size, fft_size_for_spectrum
     vuv_lt = love_train_vuv(x, fs, f0_seq, temporal_positions, threshold,
                             max_half_lt, fft_lt)
 
-    def per_frame(f0_i, t_i):
-        current_f0 = jnp.maximum(f0_low_limit, f0_i)
-        coarse = coarse_ap_one_frame(x, fs, current_f0, t_i, frequency_interval,
-                                     fft_size, n_ap, window, max_half, dtype)
-        coarse = jnp.maximum(0.0, coarse - (current_f0 - 100.0) * 2.0 / 100.0)
-        return coarse
-
-    coarse_all = jax.vmap(per_frame)(f0_seq, temporal_positions.astype(dtype))
+    current_f0 = jnp.maximum(f0_low_limit, f0_seq)
+    coarse_all = coarse_ap_frames(x, fs, current_f0,
+                                  temporal_positions.astype(dtype),
+                                  frequency_interval, fft_size, n_ap, window,
+                                  max_half, dtype)
+    coarse_all = jnp.maximum(0.0, coarse_all
+                             - (current_f0[:, None] - 100.0) * 2.0 / 100.0)
     coarse_all = jnp.where(vuv_lt[:, None], coarse_all, 0.0)
 
     # interp coarse bands (with -60 dB anchor at 0 Hz and ~0 dB at fs/2) to

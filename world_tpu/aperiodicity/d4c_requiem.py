@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import (band_window, coarse_ap_one_frame, love_train_fft_size,
+from .common import (band_window, coarse_ap_frames, love_train_fft_size,
                      love_train_vuv)
 
 
@@ -28,13 +28,12 @@ def _d4c_requiem_core(x, fs, f0_seq, temporal_positions, fft_size, threshold,
     vuv_lt = love_train_vuv(x, fs, f0_seq, temporal_positions, threshold,
                             max_half_lt, fft_lt)
 
-    def per_frame(f0_i, t_i):
-        current_f0 = jnp.maximum(f0_low_limit, f0_i)
-        coarse = coarse_ap_one_frame(x, fs, current_f0, t_i, frequency_interval,
-                                     fft_size, n_ap, window, max_half, dtype)
-        return -jnp.maximum(0.0, coarse - (current_f0 - 100.0) * 2.0 / 100.0)
-
-    mid = jax.vmap(per_frame)(f0_seq, temporal_positions.astype(dtype))
+    current_f0 = jnp.maximum(f0_low_limit, f0_seq)
+    coarse = coarse_ap_frames(x, fs, current_f0,
+                              temporal_positions.astype(dtype),
+                              frequency_interval, fft_size, n_ap, window,
+                              max_half, dtype)
+    mid = -jnp.maximum(0.0, coarse - (current_f0[:, None] - 100.0) * 2.0 / 100.0)
     n_frames = f0_seq.shape[0]
     top = jnp.full((n_frames, 1), -60.0, dtype)
     bot = jnp.full((n_frames, 1), -0.000000000001, dtype)

@@ -19,7 +19,7 @@ import numpy as np
 
 from ..dsp.interp import interp1h_uniform
 from ..dsp.minphase import mirror_full
-from ..frames import windowed_segment
+from ..frames import windowed_segment_batch
 
 
 def default_fft_size(fs: int) -> int:
@@ -42,40 +42,52 @@ def _uniform_extrap_interp(y, x0, dx, m, xq, n_static: int):
 def _power_spectrum_with_dc_fill(waveform_padded, shift, fs, fft_size, f0, dtype):
     """|FFT|^2 with the low-frequency mirror fill (cheaptrick.py:64-75).
 
-    waveform_padded: (L,) zero-padded segment whose true window starts at
-    ``shift`` (the fft must see the window at position 0 — reference fft's
-    its length-(2*half+1) waveform directly), so we roll by ``shift``.
-    Returns (half_power (fft//2+1,), ps_spectrum (fft,) complex).
+    Batched: waveform_padded (F, L) zero-padded segments whose true windows
+    start at ``shift`` (F,) (the reference fft's its length-(2*half+1)
+    waveform directly, so the window must sit at position 0).
+    Returns (half_power (F, fft//2+1), ps_spectrum (F, fft) complex).
     """
-    w = jnp.roll(waveform_padded, -shift)[:fft_size]
-    ps_spectrum = jnp.fft.fft(w, fft_size)
-    power_half = jnp.abs(ps_spectrum[: fft_size // 2 + 1]) ** 2
+    from ..dsp.scanops import take_rows
+
+    F, L = waveform_padded.shape
+    k_idx = jnp.arange(fft_size)[None, :]
+    src = shift[:, None] + k_idx
+    w = jnp.where(src < L, take_rows(waveform_padded, jnp.minimum(src, L - 1)),
+                  0.0)
+    ps_spectrum = jnp.fft.fft(w, fft_size, axis=-1)
+    power_half = jnp.abs(ps_spectrum[:, : fft_size // 2 + 1]) ** 2
 
     df = fs / fft_size
     # bins with frequency < f0 + df get a mirrored replica added
     kmax = fft_size // 2 + 1
-    k = jnp.arange(kmax, dtype=dtype)
-    freqs = k * df
-    in_low = freqs < f0 + df            # the replica's source/query set
-    m = jnp.sum(in_low)                  # data-dependent count (masked)
+    freqs = jnp.arange(kmax, dtype=dtype)[None, :] * df
+    f0c = f0[:, None]
+    in_low = freqs < f0c + df            # the replica's source/query set
+    m = jnp.sum(in_low, axis=1, keepdims=True)
     # ascending grid of (f0 - low_axis) reversed: x0 = f0-(m-1)df, step df
-    x0 = f0 - (m - 1) * df
-    y_rev_src = jnp.where(in_low, power_half, 0.0)
-    # y on the ascending grid: y[j] = power[m-1-j]; build by flipping the
-    # first-m prefix: use gather with clamped indices
-    j = jnp.arange(kmax)
-    src_idx = jnp.clip(m - 1 - j, 0, kmax - 1)
-    y_asc = jnp.take(y_rev_src, src_idx)
-    replica = _uniform_extrap_interp(y_asc, x0, df, m, freqs, kmax)
-    add = jnp.where(freqs < f0, replica, 0.0)
+    x0 = f0c - (m - 1) * df
+    y_src = jnp.where(in_low, power_half, 0.0)
+    j = jnp.arange(kmax)[None, :]
+    y_asc = take_rows(y_src, jnp.clip(m - 1 - j, 0, kmax - 1))
+    # linear interp with end extrapolation (scipy fill_value='extrapolate')
+    pos = (freqs - x0) / df
+    base = jnp.clip(jnp.floor(pos), 0, m - 2)
+    frac = pos - base
+    b = base.astype(jnp.int32)
+    y0 = take_rows(y_asc, b)
+    y1 = take_rows(y_asc, jnp.minimum(b + 1, kmax - 1))
+    replica = y0 + (y1 - y0) * frac
+    add = jnp.where(freqs < f0c, replica, 0.0)
     return power_half + add, ps_spectrum
 
 
 def _linear_smoothing(power_full, f0, fs, fft_size: int, dtype):
     """Rectangular smoothing of width 2*f0/3 via cumsum (cheaptrick.py:103-118)."""
+    from ..dsp.scanops import matmul_cumsum
+
     df = fs / fft_size
     double_spectrum = jnp.concatenate([power_full, power_full], axis=-1)
-    double_segment = jnp.cumsum(double_spectrum * df, axis=-1)
+    double_segment = matmul_cumsum(double_spectrum * df)
     x0 = -fs + df / 2
     last_x = x0 + (2 * fft_size - 1) * df
     center = jnp.arange(fft_size // 2 + 1, dtype=dtype) * df
@@ -116,17 +128,13 @@ def _cheaptrick_core(x, fs, f0_seq, temporal_positions, fft_size, q1):
 
     max_half = (fft_size - 2) // 2  # half <= int(1.5*fs/f0_low_limit+.5) <= this
 
-    def per_frame(f0_i, t_i):
-        waveform, mask, _ = windowed_segment(
-            x, float(fs), f0_i, t_i, 1.5, max_half, "hanning",
-            sub_sample_shift=False, normalize_window=True)
-        half = jnp.floor(1.5 * fs / f0_i + 0.5).astype(jnp.int32)
-        shift = max_half - half
-        power_half, ps_spec = _power_spectrum_with_dc_fill(
-            waveform, shift, float(fs), fft_size, f0_i, dtype)
-        return power_half, ps_spec
-
-    power_half, ps_spec = jax.vmap(per_frame)(f0_eff, temporal_positions)
+    waveform, _, _ = windowed_segment_batch(
+        x, float(fs), f0_eff, temporal_positions, 1.5, max_half, "hanning",
+        sub_sample_shift=False, normalize_window=True)
+    half = jnp.floor(1.5 * fs / f0_eff + 0.5).astype(jnp.int32)
+    shift = max_half - half
+    power_half, ps_spec = _power_spectrum_with_dc_fill(
+        waveform, shift, float(fs), fft_size, f0_eff, dtype)
     power_full = mirror_full(power_half)
     smoothed = _linear_smoothing(power_full, f0_eff[:, None], float(fs), fft_size, dtype)
     smoothed_full = mirror_full(smoothed)
