@@ -57,7 +57,7 @@ def _band_bank(boundary_f0_list: np.ndarray, actual_fs: float):
 
 
 def _candidates_and_stability(y, actual_fs, f0_floor, f0_ceil, boundary_f0_list,
-                              temporal_positions, capacity):
+                              temporal_positions, frame_period):
     from ..dsp.fir import fir_bank_full
     from ..dsp.scanops import take_rows
     from .events import four_event_interp
@@ -68,8 +68,9 @@ def _candidates_and_stability(y, actual_fs, f0_floor, f0_ceil, boundary_f0_list,
     starts = jnp.asarray(offsets, jnp.int32)[:, None]
     filtered = take_rows(conv, starts + jnp.arange(y_len, dtype=jnp.int32)[None, :])
 
+    stride = actual_fs * frame_period / 1000.0
     f0c, dev, _ = four_event_interp(filtered, actual_fs, temporal_positions,
-                                    capacity)
+                                    stride)
     bf = jnp.asarray(boundary_f0_list, dtype=y.dtype)[:, None]
     bad = ((f0c > bf) | (f0c < bf / 2) | (f0c > f0_ceil) | (f0c < f0_floor))
     f0c = jnp.where(bad, 0.0, f0c)
@@ -237,10 +238,9 @@ def _dio_core(x, fs, f0_floor, f0_ceil, channels_in_octave, target_fs,
     y = decimate_world(x, r)
     actual_fs = float(target_fs)
     duration = signal_length / fs
-    capacity = int(duration * boundary_f0_list[-1] * 2) + 32
-
     raw_f0, raw_stab = _candidates_and_stability(
-        y, actual_fs, f0_floor, f0_ceil, boundary_f0_list, temporal_positions, capacity)
+        y, actual_fs, f0_floor, f0_ceil, boundary_f0_list, temporal_positions,
+        frame_period)
 
     order = jnp.argsort(-raw_stab, axis=0)
     f0_candidates = jnp.take_along_axis(raw_f0, order, axis=0)

@@ -97,8 +97,10 @@ def raw_band_candidates(y, actual_fs, boundary_f0_list, temporal_positions,
     starts = jnp.asarray(bias, jnp.int32)[:, None]      # filtered[i]=conv[b, bias+i]
     filtered = take_rows(conv, starts + jnp.arange(y_len, dtype=jnp.int32)[None, :])
 
+    del capacity
+    stride = actual_fs * 0.001  # 1 ms basic frame grid
     f0c, _, usable = four_event_interp(filtered, actual_fs, temporal_positions,
-                                       capacity)
+                                       stride)
     bf = jnp.asarray(boundary_f0_list, dtype=y.dtype)[:, None]
     bad = ((f0c > bf * 1.1) | (f0c < bf * 0.9)
            | (f0c > f0_ceil) | (f0c < f0_floor))

@@ -49,10 +49,13 @@ def _time_base(temporal_positions, f0, vuv, fs, time_axis, default_f0,
 
 
 @partial(jax.jit, static_argnames=("fs", "y_length", "fft_size", "max_pulses",
-                                   "max_noise", "noise_mode", "variant"))
+                                   "max_noise", "noise_mode", "variant",
+                                   "k_overlap"))
 def _synthesis_core(f0, vuv, temporal_positions, spectrogram, aperiodicity,
                     key, fs, y_length, fft_size, max_pulses, max_noise,
-                    noise_mode, variant="standard"):
+                    noise_mode, variant="standard", k_overlap=48):
+    from ..dsp.ola import gather_ola
+
     dtype = spectrogram.dtype
     default_f0 = 500.0
     time_axis = jnp.arange(y_length, dtype=dtype) / fs + temporal_positions[0]
@@ -68,13 +71,13 @@ def _synthesis_core(f0, vuv, temporal_positions, spectrogram, aperiodicity,
                          jnp.arange(1, n_frames + 1, dtype=dtype), pulse_locations)
     tpi = jnp.clip(tpi, 1.0, float(n_frames))
 
-    amp_ap = aperiodicity ** 2            # (bins, frames)
-    amp_per = jnp.maximum(0.001, 1.0 - amp_ap)
+    S = spectrogram.T                     # (frames, bins)
+    AP = (aperiodicity ** 2).T
+    PER = jnp.maximum(0.001, 1.0 - AP)
 
     dc_base = np_hanning_matlab(fft_size)
     dc_base = jnp.asarray(dc_base / dc_base.sum(), dtype=dtype)
     coefficient = 2.0 * jnp.pi * fs / fft_size
-    base_index = jnp.arange(-(fft_size // 2) + 1, fft_size // 2 + 1)
     half_k = jnp.arange(fft_size // 2 + 1, dtype=dtype)
 
     pulse_ids = jnp.arange(max_pulses)
@@ -83,65 +86,63 @@ def _synthesis_core(f0, vuv, temporal_positions, spectrogram, aperiodicity,
                                          max_pulses - 1))
     noise_sizes = jnp.where(valid, next_pli - pli, 0)
 
-    keys = jax.random.split(key, max_pulses)
+    # ---- 2-frame spectral lerp, all pulses at once ------------------------
+    floor_i = jnp.floor(tpi).astype(jnp.int32) - 1
+    ceil_i = jnp.ceil(tpi).astype(jnp.int32) - 1
+    t1 = jnp.take(temporal_positions, floor_i)
+    t2 = jnp.take(temporal_positions, ceil_i)
+    xq = jnp.maximum(t1, jnp.minimum(t2, pulse_locations))
+    b = jnp.where(t1 == t2, 0.0, (xq - t1) / jnp.where(t1 == t2, 1.0, t2 - t1))
+    a = (1.0 - b)[:, None]
+    b = b[:, None]
+    spec = a * jnp.take(S, floor_i, axis=0) + b * jnp.take(S, ceil_i, axis=0)
+    per = a * jnp.take(PER, floor_i, axis=0) + b * jnp.take(PER, ceil_i, axis=0)
+    aps = a * jnp.take(AP, floor_i, axis=0) + b * jnp.take(AP, ceil_i, axis=0)
 
-    def per_pulse(i, key_i):
-        t_idx = tpi[i]
-        floor_i = jnp.floor(t_idx).astype(jnp.int32) - 1
-        ceil_i = jnp.ceil(t_idx).astype(jnp.int32) - 1
-        t1 = jnp.take(temporal_positions, floor_i)
-        t2 = jnp.take(temporal_positions, ceil_i)
-        xq = jnp.maximum(t1, jnp.minimum(t2, pulse_locations[i]))
-        b = jnp.where(t1 == t2, 0.0, (xq - t1) / jnp.where(t1 == t2, 1.0, t2 - t1))
-        a = 1.0 - b
-        spec = a * spectrogram[:, floor_i] + b * spectrogram[:, ceil_i]
-        per = a * amp_per[:, floor_i] + b * amp_per[:, ceil_i]
-        aps = a * amp_ap[:, floor_i] + b * amp_ap[:, ceil_i]
+    voiced = jnp.take(vuv_interp, pli - 1)
+    if variant == "standard":  # synthesis_a has no aperiodicity gate
+        voiced = voiced & (aps[:, 0] <= 0.999)
 
-        noise_size = noise_sizes[i]
-        voiced = jnp.take(vuv_interp, pli[i] - 1)
-        if variant == "standard":  # synthesis_a has no aperiodicity gate
-            voiced = voiced & (aps[0] <= 0.999)
+    # ---- periodic responses (synthesis.py:100-116), batched ---------------
+    tmp = jnp.maximum(spec * per, jnp.finfo(dtype).eps)
+    mp_spec = minimum_phase_spectrum(mirror_full(tmp))
+    half = mp_spec[:, : fft_size // 2 + 1]
+    ramp = jnp.exp(-1j * (coefficient * shifts)[:, None] * half_k[None, :])
+    half = half * ramp
+    full = jnp.concatenate([half, half[:, -2:0:-1].conj()], axis=1)
+    response = jnp.fft.fftshift(jnp.fft.ifft(full, axis=-1).real, axes=-1)
+    dc_remover = dc_base[None, :] * (-jnp.sum(response, axis=1, keepdims=True))
+    periodic = (response + dc_remover) * jnp.sqrt(
+        jnp.maximum(1.0, noise_sizes.astype(dtype)))[:, None]
+    periodic = jnp.where(voiced[:, None], periodic, 0.0)
 
-        # ---- periodic response (synthesis.py:100-116) ----
-        tmp = spec * per
-        tmp = jnp.maximum(tmp, jnp.finfo(dtype).eps)
-        mp_spec = minimum_phase_spectrum(mirror_full(tmp))
-        half = mp_spec[: fft_size // 2 + 1]
-        ramp = jnp.exp(-1j * (coefficient * shifts[i]) * half_k)
-        half = half * ramp
-        full = jnp.concatenate([half, half[-2:0:-1].conj()])
-        response = jnp.fft.fftshift(jnp.fft.ifft(full).real)
-        dc_remover = dc_base * (-jnp.sum(response))
-        periodic_response = (response + dc_remover) * jnp.sqrt(
-            jnp.maximum(1.0, noise_size.astype(dtype)))
-        periodic_response = jnp.where(voiced, periodic_response, 0.0)
+    # ---- aperiodic responses (synthesis.py:86-96), batched ----------------
+    ap_spec = jnp.where(voiced[:, None], spec * aps, spec)
+    ap_spec = jnp.maximum(ap_spec, jnp.finfo(dtype).eps)
+    ap_response = jnp.fft.fftshift(
+        jnp.fft.ifft(minimum_phase_spectrum(mirror_full(ap_spec)), axis=-1).real,
+        axes=-1)
+    n_noise = jnp.maximum(3, jnp.minimum(noise_sizes, max_noise))
+    noise_mask = jnp.arange(max_noise)[None, :] < n_noise[:, None]
+    if noise_mode == "constant":
+        noise = jnp.where(noise_mask, 0.1, 0.0)
+    else:
+        noise = jnp.where(noise_mask,
+                          jax.random.normal(key, (max_pulses, max_noise),
+                                            dtype=dtype), 0.0)
+    noise = jnp.where(noise_mask,
+                      noise - jnp.sum(noise, axis=1, keepdims=True)
+                      / n_noise[:, None], 0.0)
+    # conv(noise, response)[:fft_size]  (fftfilt, synthesis.py:189-250)
+    conv_n = 2 * fft_size
+    ap_out = jnp.fft.irfft(jnp.fft.rfft(noise, conv_n, axis=-1)
+                           * jnp.fft.rfft(ap_response, conv_n, axis=-1),
+                           conv_n, axis=-1)[:, :fft_size]
 
-        # ---- aperiodic response (synthesis.py:86-96) ----
-        ap_spec = jnp.where(voiced, spec * aps, spec)
-        ap_spec = jnp.maximum(ap_spec, jnp.finfo(dtype).eps)
-        ap_response = jnp.fft.fftshift(
-            jnp.fft.ifft(minimum_phase_spectrum(mirror_full(ap_spec))).real)
-        n_noise = jnp.maximum(3, jnp.minimum(noise_size, max_noise))
-        noise_mask = jnp.arange(max_noise) < n_noise
-        if noise_mode == "constant":
-            noise = jnp.where(noise_mask, 0.1, 0.0)
-        else:
-            noise = jnp.where(noise_mask, jax.random.normal(key_i, (max_noise,),
-                                                            dtype=dtype), 0.0)
-        noise = jnp.where(noise_mask, noise - jnp.sum(noise) / n_noise, 0.0)
-        # conv(noise, response)[:fft_size]  (fftfilt, synthesis.py:189-250)
-        conv_n = 2 * fft_size
-        ap_out = jnp.fft.irfft(jnp.fft.rfft(noise, conv_n)
-                               * jnp.fft.rfft(ap_response, conv_n), conv_n)[:fft_size]
-
-        contribution = periodic_response + ap_out
-        out_idx = jnp.clip(pli[i] + base_index, 1, y_length) - 1
-        return jnp.where(valid[i], contribution, 0.0), out_idx
-
-    contribs, out_idxs = jax.vmap(per_pulse)(pulse_ids, keys)
-    y = jnp.zeros(y_length, dtype).at[out_idxs.reshape(-1)].add(contribs.reshape(-1))
-    return y
+    contributions = jnp.where(valid[:, None], periodic + ap_out, 0.0)
+    starts = jnp.where(valid, pli - fft_size // 2,
+                       y_length + fft_size + 2).astype(jnp.int32)
+    return gather_ola(contributions, starts, y_length, k_overlap)
 
 
 def synthesis(source_object, filter_object, key=None, noise_mode="gaussian",
@@ -167,12 +168,14 @@ def synthesis(source_object, filter_object, key=None, noise_mode="gaussian",
     max_noise = int(fs / 40) + 4
     if key is None:
         key = jax.random.PRNGKey(0)
+    f0_hi = max(500.0, float(f0.max()) * 1.05)
+    k_overlap = min(int(np.ceil(fft_size * f0_hi / fs / 8) + 1) * 8, max_pulses)
 
     return _synthesis_core(
         jnp.asarray(f0, spectrogram.dtype),
         jnp.asarray(vuv, spectrogram.dtype), jnp.asarray(tp, spectrogram.dtype),
         spectrogram, aperiodicity, key, fs, time_axis_len, fft_size,
-        max_pulses, max_noise, noise_mode, variant)
+        max_pulses, max_noise, noise_mode, variant, k_overlap)
 
 
 def synthesis_a(source_object, filter_object, key=None, noise_mode="gaussian",

@@ -39,9 +39,10 @@ def _pulse_locations(temporal_positions, f0, vuv, fs, time_axis, max_pulses: int
     return pli, count, vuv_i
 
 
-@partial(jax.jit, static_argnames=("fs", "y_length", "max_pulses"))
+@partial(jax.jit, static_argnames=("fs", "y_length", "max_pulses", "k_overlap"))
 def _excitation_core(temporal_positions, f0, vuv, band_ap_db, pulse_seed,
-                     noise_seed, noise_offsets, fs, y_length, max_pulses):
+                     noise_seed, noise_offsets, fs, y_length, max_pulses,
+                     k_overlap=40):
     dtype = pulse_seed.dtype
     fft_size = pulse_seed.shape[0]
     n_bands = pulse_seed.shape[1]
@@ -72,10 +73,12 @@ def _excitation_core(temporal_positions, f0, vuv, band_ap_db, pulse_seed,
     noise_size = jnp.sqrt(jnp.maximum(1.0, (next_pli - pli).astype(dtype)))
     weights = (1.0 - ap_at_pulse.T) * jnp.where(voiced, noise_size, 0.0)[:, None]
     responses = weights @ pulse_seed.T                     # (P, fft)
-    base_index = jnp.arange(-(fft_size // 2) + 1, fft_size // 2 + 1)
-    out_idx = jnp.clip(pli[:, None] + base_index[None, :], 1, y_length) - 1
-    periodic = jnp.zeros(y_length, dtype).at[out_idx.reshape(-1)].add(
-        responses.reshape(-1))
+    # overlap-add via gathers (dsp.ola): padded pulses park past the tail
+    starts = jnp.where(valid, pli - fft_size // 2,
+                       y_length + fft_size + 2).astype(jnp.int32)
+    from ..dsp.ola import gather_ola
+
+    periodic = gather_ola(responses, starts, y_length, k_overlap)
     return periodic + aperiodic
 
 
@@ -93,18 +96,16 @@ def _waveform_core(excitation, spectrogram, temporal_positions, fs, fft_size,
     frames = jnp.arange(2, n_frames - 1)
     origins = (frames - 1) * fps - half  # 1-based origin
 
-    def per_frame(i, origin):
-        seg_idx = jnp.minimum(y_len, origin + jnp.arange(win_len)) - 1
-        tmp = jnp.take(excitation, seg_idx) * win
-        spec = spectrogram[:, i - 1]
-        mp = minimum_phase_spectrum(mirror_full(spec))
-        resp = jnp.fft.ifft(mp * jnp.fft.fft(tmp, fft_size)).real
-        out_idx = jnp.minimum(y_len, origin + jnp.arange(fft_size)) - 1
-        return resp, out_idx
+    seg_idx = jnp.minimum(y_len, origins[:, None]
+                          + jnp.arange(win_len)[None, :]) - 1
+    tmp = jnp.take(excitation, seg_idx) * win[None, :]
+    spec = spectrogram.T[1:n_frames - 2]  # frame i uses column i-1
+    mp = minimum_phase_spectrum(mirror_full(spec))
+    resp = jnp.fft.ifft(mp * jnp.fft.fft(tmp, fft_size, axis=-1), axis=-1).real
+    from ..dsp.ola import gather_ola
 
-    resps, out_idxs = jax.vmap(per_frame)(frames, origins)
-    return jnp.zeros(y_len, dtype).at[out_idxs.reshape(-1)].add(
-        resps.reshape(-1))
+    K = fft_size // fps + 3
+    return gather_ola(resp, (origins - 1).astype(jnp.int32), y_len, K)
 
 
 def synthesis_requiem(source_object, filter_object, seeds_signals,
@@ -126,9 +127,14 @@ def synthesis_requiem(source_object, filter_object, seeds_signals,
     if noise_offsets is None:
         noise_offsets = jnp.zeros(pulse_seed.shape[1], jnp.int32)
 
+    fft_seed = int(pulse_seed.shape[0])
+    f0_hi = max(500.0, float(f0.max()) * 1.1)
+    k_overlap = min(int(np.ceil(fft_seed * f0_hi / fs)) + 8, max_pulses)
+    k_overlap = int(np.ceil(k_overlap / 8) * 8)
     excitation = _excitation_core(
         jnp.asarray(tp), jnp.asarray(f0), jnp.asarray(vuv), band_ap,
-        pulse_seed, noise_seed, noise_offsets, fs, y_length, max_pulses)
+        pulse_seed, noise_seed, noise_offsets, fs, y_length, max_pulses,
+        k_overlap)
     fft_size = (spectrogram.shape[0] - 1) * 2
     fps = int((tp[1] - tp[0]) * fs)
     return _waveform_core(excitation, spectrogram, jnp.asarray(tp), fs,
