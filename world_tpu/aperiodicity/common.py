@@ -25,7 +25,24 @@ import numpy as np
 from ..dsp.minphase import mirror_full
 from ..dsp.scanops import matmul_cumsum, take_rows
 from ..dsp.windows import np_nuttall
-from ..frames import windowed_segment_batch
+from ..frames import (apply_adaptive_window, uniform_centered_slabs,
+                      windowed_segment_batch)
+
+
+def frame_segments(x, fs, temporal_positions, max_half: int,
+                   frame_period_ms, margin: int = 0):
+    """Per-frame signal slabs (F, 2*(max_half+margin)+1) around the
+    reference's anchors.  Uniform frame grids take the gather-free strided
+    path; arbitrary grids fall back to a flat gather."""
+    if frame_period_ms is not None:
+        return uniform_centered_slabs(x, float(fs), frame_period_ms / 1000.0,
+                                      temporal_positions.shape[0],
+                                      temporal_positions, max_half + margin)
+    center = jnp.floor(temporal_positions[:, None] * fs + 0.501) + 1.0
+    base = jnp.arange(-max_half - margin, max_half + margin + 1,
+                      dtype=x.dtype)[None, :]
+    safe = jnp.clip(center + base, 1, x.shape[0]).astype(jnp.int32)
+    return jnp.take(x, safe - 1)
 
 
 def d4c_fft_size(fs: int) -> int:
@@ -44,15 +61,17 @@ def dc_correction_half(signal_half, f0, fs, fft_size: int, dtype):
     """
     df = fs / fft_size
     kmax = fft_size // 2 + 1
-    k = jnp.arange(kmax, dtype=dtype)[None, :]
-    freqs = k * df
+    # only a small static low-frequency slice participates (bins < 1.2*f0;
+    # KL covers f0 up to ~2.2 kHz) — keeps the row gathers tiny
+    KL = min(kmax, 256)
+    freqs = jnp.arange(KL, dtype=dtype)[None, :] * df
     f0c = f0[:, None]
     in_low = freqs < 1.2 * f0c
-    m = jnp.sum(in_low, axis=1, keepdims=True)
+    m = jnp.minimum(jnp.sum(in_low, axis=1, keepdims=True), KL)
     x0 = f0c - (m - 1) * df
-    y_src = jnp.where(in_low, signal_half, 0.0)
-    j = jnp.arange(kmax)[None, :]
-    src_idx = jnp.clip(m - 1 - j, 0, kmax - 1)
+    y_src = jnp.where(in_low, signal_half[:, :KL], 0.0)
+    j = jnp.arange(KL)[None, :]
+    src_idx = jnp.clip(m - 1 - j, 0, KL - 1)
     y_asc = take_rows(y_src, src_idx)
     # linear interp on the ascending uniform grid with end extrapolation
     pos = (freqs - x0) / df
@@ -60,9 +79,10 @@ def dc_correction_half(signal_half, f0, fs, fft_size: int, dtype):
     frac = pos - base
     b = base.astype(jnp.int32)
     y0 = take_rows(y_asc, b)
-    y1 = take_rows(y_asc, jnp.minimum(b + 1, kmax - 1))
+    y1 = take_rows(y_asc, jnp.minimum(b + 1, KL - 1))
     replica = y0 + (y1 - y0) * frac
-    return signal_half + jnp.where(freqs < f0c, replica, 0.0)
+    add = jnp.where(freqs < f0c, replica, 0.0)
+    return signal_half + jnp.pad(add, ((0, 0), (0, kmax - KL)))
 
 
 def linear_smoothing_full_to_half(signal_full, width, fs, fft_size: int, dtype):
@@ -99,7 +119,7 @@ def linear_smoothing_full_to_half(signal_full, width, fs, fft_size: int, dtype):
 
 
 def love_train_vuv(x, fs, f0, temporal_positions, threshold, max_half: int,
-                   fft_size_lt: int):
+                   fft_size_lt: int, frame_period_ms=None):
     """'Love Train' VUV decision per frame (d4c.py:68-88), batched.
 
     The cumulative-power ratio needs only two prefix sums at static bin
@@ -112,9 +132,11 @@ def love_train_vuv(x, fs, f0, temporal_positions, threshold, max_half: int,
     b2 = int(np.ceil(7900 / df) + 1)
 
     f0_c = jnp.maximum(f0, 40.0)
-    waveform, _, _ = windowed_segment_batch(
-        x, float(fs), f0_c, temporal_positions.astype(dtype), 1.5, max_half,
-        "blackman", sub_sample_shift=True)
+    t = temporal_positions.astype(dtype)
+    seg = frame_segments(x, float(fs), t, max_half, frame_period_ms)
+    waveform, _, _ = apply_adaptive_window(
+        seg, float(fs), f0_c, t, 1.5, max_half, "blackman",
+        sub_sample_shift=True)
     spec = jnp.fft.rfft(waveform, fft_size_lt, axis=-1)
     power = jnp.abs(spec) ** 2
     s1 = jnp.sum(power[:, b0:b1], axis=1)
@@ -122,12 +144,25 @@ def love_train_vuv(x, fs, f0, temporal_positions, threshold, max_half: int,
     return ((s1 / s2) > threshold) & (f0 != 0)
 
 
-def _centroid_half(x, fs, f0, t_pos, max_half: int, fft_size: int):
-    """get_centroid for one shifted window set (d4c.py:132-153), batched."""
-    waveform, mask, _ = windowed_segment_batch(
-        x, float(fs), f0, t_pos, 2.0, max_half, "blackman", sub_sample_shift=True)
+def _centroid_from_slab(slab, margin, fs, f0, t_base, t_shifted, max_half: int,
+                        fft_size: int):
+    """get_centroid for one shifted window set (d4c.py:132-153), batched.
+
+    The ±T0/4-shifted window is cut from the frame slab by a per-row integer
+    shift (the only remaining row gather — bounded width)."""
+    dtype = slab.dtype
+    w0 = 2 * max_half + 1
+    center_b = jnp.floor(t_base * fs + 0.501) + 1.0
+    center_s = jnp.floor(t_shifted * fs + 0.501) + 1.0
+    shift = jnp.clip((center_s - center_b).astype(jnp.int32) + margin,
+                     0, 2 * margin)
+    idx = shift[:, None] + jnp.arange(w0, dtype=jnp.int32)[None, :]
+    segment = take_rows(slab, idx)
+    waveform, mask, _ = apply_adaptive_window(
+        segment, fs, f0, t_shifted, 2.0, max_half, "blackman",
+        sub_sample_shift=True)
     half = jnp.floor(2.0 * fs / f0 + 0.5)[:, None]
-    base_index = jnp.arange(-max_half, max_half + 1, dtype=x.dtype)[None, :]
+    base_index = jnp.arange(-max_half, max_half + 1, dtype=dtype)[None, :]
     t_true = jnp.where(mask, base_index + half + 1, 0.0)
     xn = waveform / jnp.sqrt(jnp.sum(waveform ** 2, axis=1, keepdims=True))
     S = jnp.fft.rfft(xn, fft_size, axis=-1)
@@ -135,16 +170,24 @@ def _centroid_half(x, fs, f0, t_pos, max_half: int, fft_size: int):
     return S.real * U.real + S.imag * U.imag
 
 
-def static_centroid_half(x, fs, f0, t_pos, max_half: int, fft_size: int, dtype):
-    c1 = _centroid_half(x, fs, f0, t_pos + 1 / f0 / 4, max_half, fft_size)
-    c2 = _centroid_half(x, fs, f0, t_pos - 1 / f0 / 4, max_half, fft_size)
+def static_centroid_half(x, fs, f0, t_pos, max_half: int, fft_size: int, dtype,
+                         frame_period_ms=None):
+    margin = int(np.ceil(fs / (4 * 47.0))) + 3
+    slab = frame_segments(x, float(fs), t_pos, max_half, frame_period_ms,
+                          margin=margin)
+    c1 = _centroid_from_slab(slab, margin, float(fs), f0, t_pos,
+                             t_pos + 1 / f0 / 4, max_half, fft_size)
+    c2 = _centroid_from_slab(slab, margin, float(fs), f0, t_pos,
+                             t_pos - 1 / f0 / 4, max_half, fft_size)
     return dc_correction_half(c1 + c2, f0, float(fs), fft_size, dtype)
 
 
 def smoothed_power_spectrum_half(x, fs, f0, t_pos, max_half: int, fft_size: int,
-                                 dtype):
-    waveform, _, _ = windowed_segment_batch(
-        x, float(fs), f0, t_pos, 2.0, max_half, "hanning", sub_sample_shift=True)
+                                 dtype, frame_period_ms=None):
+    seg = frame_segments(x, float(fs), t_pos, max_half, frame_period_ms)
+    waveform, _, _ = apply_adaptive_window(
+        seg, float(fs), f0, t_pos, 2.0, max_half, "hanning",
+        sub_sample_shift=True)
     power = jnp.abs(jnp.fft.rfft(waveform, fft_size, axis=-1)) ** 2
     power = dc_correction_half(power, f0, float(fs), fft_size, dtype)
     return linear_smoothing_full_to_half(mirror_full(power), f0, float(fs),
@@ -208,10 +251,13 @@ def band_window(fs: int, fft_size: int, frequency_interval: float) -> np.ndarray
 
 
 def coarse_ap_frames(x, fs, f0, t_pos, frequency_interval, fft_size: int,
-                     n_ap: int, window: np.ndarray, max_half: int, dtype):
+                     n_ap: int, window: np.ndarray, max_half: int, dtype,
+                     frame_period_ms=None):
     """estimate_one_slice (d4c.py:114-128) for all frames at once."""
-    centroid = static_centroid_half(x, fs, f0, t_pos, max_half, fft_size, dtype)
-    spsh = smoothed_power_spectrum_half(x, fs, f0, t_pos, max_half, fft_size, dtype)
+    centroid = static_centroid_half(x, fs, f0, t_pos, max_half, fft_size, dtype,
+                                    frame_period_ms)
+    spsh = smoothed_power_spectrum_half(x, fs, f0, t_pos, max_half, fft_size,
+                                        dtype, frame_period_ms)
     gd = static_group_delay_half(centroid, spsh, fs, f0, fft_size, dtype)
     return coarse_aperiodicity(gd, float(fs), fft_size, frequency_interval,
                                n_ap, window, dtype)

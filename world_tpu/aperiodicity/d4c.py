@@ -12,14 +12,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..frames import uniform_frame_period_ms as _uniform_frame_period_ms
 from .common import (band_window, coarse_ap_frames, d4c_fft_size,
                      love_train_fft_size, love_train_vuv)
 
 
 @partial(jax.jit, static_argnames=("fs", "fft_size", "fft_size_for_spectrum",
-                                   "threshold", "frequency_interval", "n_ap"))
+                                   "threshold", "frequency_interval", "n_ap",
+                                   "frame_period_ms"))
 def _d4c_core(x, fs, f0_seq, temporal_positions, fft_size, fft_size_for_spectrum,
-              threshold, frequency_interval, n_ap):
+              threshold, frequency_interval, n_ap, frame_period_ms=None):
     dtype = x.dtype
     f0_low_limit = 47.0
     window = band_window(fs, fft_size, frequency_interval)
@@ -28,13 +30,13 @@ def _d4c_core(x, fs, f0_seq, temporal_positions, fft_size, fft_size_for_spectrum
     fft_lt = love_train_fft_size(fs)
 
     vuv_lt = love_train_vuv(x, fs, f0_seq, temporal_positions, threshold,
-                            max_half_lt, fft_lt)
+                            max_half_lt, fft_lt, frame_period_ms)
 
     current_f0 = jnp.maximum(f0_low_limit, f0_seq)
     coarse_all = coarse_ap_frames(x, fs, current_f0,
                                   temporal_positions.astype(dtype),
                                   frequency_interval, fft_size, n_ap, window,
-                                  max_half, dtype)
+                                  max_half, dtype, frame_period_ms)
     coarse_all = jnp.maximum(0.0, coarse_all
                              - (current_f0[:, None] - 100.0) * 2.0 / 100.0)
     coarse_all = jnp.where(vuv_lt[:, None], coarse_all, 0.0)
@@ -78,9 +80,10 @@ def d4c(x, fs, f0_object, threshold=0.85, fft_size_for_spectrum=None):
     vuv = jnp.asarray(f0_object["vuv"])
     f0 = jnp.where(vuv == 0, 0.0, f0)
     tp = jnp.asarray(f0_object["temporal_positions"])
+    fp_ms = _uniform_frame_period_ms(f0_object["temporal_positions"])
     ap, coarse, f0_eff = _d4c_core(
         x, int(fs), f0, tp, int(fft_size), int(fft_size_for_spectrum),
-        float(threshold), float(frequency_interval), int(n_ap))
+        float(threshold), float(frequency_interval), int(n_ap), fp_ms)
     out = dict(f0_object)
     out["f0"] = f0_eff
     out["aperiodicity"] = ap.T

@@ -65,8 +65,9 @@ def _candidates_and_stability(y, actual_fs, f0_floor, f0_ceil, boundary_f0_list,
     bank, offsets = _band_bank(boundary_f0_list, actual_fs)
     y_len = y.shape[0]
     conv = fir_bank_full(y, bank)
-    starts = jnp.asarray(offsets, jnp.int32)[:, None]
-    filtered = take_rows(conv, starts + jnp.arange(y_len, dtype=jnp.int32)[None, :])
+    # per-band offsets are host-known -> static slices, no gather
+    filtered = jnp.stack([conv[b, int(s) : int(s) + y_len]
+                          for b, s in enumerate(offsets)])
 
     stride = actual_fs * frame_period / 1000.0
     f0c, dev, _ = four_event_interp(filtered, actual_fs, temporal_positions,

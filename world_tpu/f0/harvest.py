@@ -3,16 +3,17 @@
 Mirrors /root/reference/world/harvest.py semantically; the execution design
 replaces every CPU idiom with a TPU one:
 
-  * ~140 band-pass filters -> one batched FFT-product (lax.map-chunked to
-    bound HBM), ragged zero-crossing event lists -> fixed-capacity compacted
-    buffers (dsp.zc);
-  * DetectCandidates' per-frame run detection -> vectorized run labeling
-    with cumsum + scatter (no Python loops);
+  * ~145 band-pass filters -> ONE im2col matmul (dsp.fir) + static slices;
+  * ragged zero-crossing event lists never materialize: candidate f0s come
+    from the gather-free dense interval interpolation in f0.events;
+  * DetectCandidates' per-frame run detection -> batched binary search over
+    per-frame cumsums (no Python loops, no scatters);
   * the mp.Pool fan-out over (candidate, frame) refinement tasks
-    (harvest.py:140-142, the reference's dominant cost) -> ONE vmapped
-    harmonic-bin DFT: each task reads its <=6 harmonic bins directly as
-    dot products, making the per-task data-dependent fft_size a scalar in
-    the phase formula — static shapes, no FFT, no process pool;
+    (harvest.py:140-142, the reference's dominant cost) -> a fully batched
+    harmonic-bin DFT: per-frame segments are shared across candidates and
+    each task reads its <=6 harmonic bins as fused multiply-reduce dots,
+    making the per-task data-dependent fft_size a scalar in the phase
+    formula — static shapes, no FFT, no process pool;
   * RemoveUnreliableCandidates' O(cand x frame) numba loop -> a single
     batched min-reduction over neighbor-frame candidate error matrices;
   * FixStep3's sequential ExtendF0 chains -> per-section lax.scan, vmapped
@@ -30,8 +31,6 @@ import numpy as np
 from ..dsp.iir import decimate_matlab, lfilter
 from ..dsp.rounding import matlab_round_half
 from ..dsp.windows import np_nuttall
-from ..dsp.zc import zero_crossing_events
-from ..dsp.interp import interp1_extrap
 
 EPS = 2.220446049250313e-16
 
@@ -94,8 +93,9 @@ def raw_band_candidates(y, actual_fs, boundary_f0_list, temporal_positions,
     bank, bias = _band_filter_bank(np.asarray(boundary_f0_list), actual_fs)
     y_len = y.shape[0]
     conv = fir_bank_full(y, bank)                       # (B, y_len + L - 1)
-    starts = jnp.asarray(bias, jnp.int32)[:, None]      # filtered[i]=conv[b, bias+i]
-    filtered = take_rows(conv, starts + jnp.arange(y_len, dtype=jnp.int32)[None, :])
+    # per-band offsets are host-known -> static slices, no gather
+    filtered = jnp.stack([conv[b, int(s) : int(s) + y_len]
+                          for b, s in enumerate(bias)])
 
     del capacity
     stride = actual_fs * 0.001  # 1 ms basic frame grid
@@ -188,75 +188,105 @@ def overlap_candidates(cands, max_candidates: int, n: int = 3):
 # refinement (harvest.py:169-211) — harmonic-bin DFT, no FFT, no pool
 # ---------------------------------------------------------------------------
 
-def _refine_task(y, actual_fs, t_i, f0_c, f0_floor, f0_ceil, max_half: int):
-    dtype = y.dtype
-    f0_safe = jnp.maximum(f0_c, 1e-12)
-    half = jnp.ceil(3 * actual_fs / f0_safe / 2)
+def _refine_block(seg, t_c, cands, actual_fs, f0_floor, f0_ceil, max_half: int):
+    """GetRefinedF0 (harvest.py:169-211) for a (C, B) candidate block sharing
+    per-frame segments seg (B, W) — fully batched, no vmap, no gathers.
+
+    The per-task data-dependent fft_size is a scalar in the DFT phase
+    formula; only the <=6 harmonic bins are ever computed (as fused
+    multiply-reduce dots on the VPU)."""
+    dtype = seg.dtype
+    W = seg.shape[1]
+    f0 = jnp.maximum(cands, 1e-12)                       # (C, B)
+    half = jnp.ceil(3 * actual_fs / f0 / 2)
     wlt = (2 * half + 1) / actual_fs
     fft_size = 2.0 ** jnp.ceil(jnp.log2(half * 2 + 1) + 1)
 
     base_index = jnp.arange(-max_half, max_half + 1, dtype=dtype)
-    mask = jnp.abs(base_index) <= half
     base_time = base_index / actual_fs
-    index_raw = matlab_round_half((t_i + base_time) * actual_fs + 0.001)
-    common = jnp.pi * ((index_raw - 1) / actual_fs - t_i) / wlt
+    # (B, W): reference arithmetic (t + base/fs)*fs + 0.001, +0.5 un-truncated
+    index_raw = (t_c[:, None] + base_time[None, :]) * actual_fs + 0.001 + 0.5
+    phase = ((index_raw - 1) / actual_fs - t_c[:, None])          # (B, W)
+
+    mask = jnp.abs(base_index)[None, None, :] <= half[..., None]  # (C, B, W)
+    common = jnp.pi * phase[None] / wlt[..., None]
     main_window = 0.42 + 0.5 * jnp.cos(2 * common) + 0.08 * jnp.cos(4 * common)
     main_window = jnp.where(mask, main_window, 0.0)
-    w_pad = jnp.concatenate([jnp.zeros(1, dtype), main_window, jnp.zeros(1, dtype)])
-    diff_window = -(w_pad[2:] - w_pad[:-2]) / 2
+    zpad = jnp.zeros(main_window.shape[:-1] + (1,), dtype)
+    w_pad = jnp.concatenate([zpad, main_window, zpad], axis=-1)
+    diff_window = -(w_pad[..., 2:] - w_pad[..., :-2]) / 2
     diff_window = jnp.where(mask, diff_window, 0.0)
 
-    safe = jnp.clip(index_raw, 1, y.shape[0]).astype(jnp.int32)
-    seg = jnp.take(y, safe - 1) * mask
-    seg_main = seg * main_window
-    seg_diff = seg * diff_window
+    seg_main = seg[None] * main_window                    # (C, B, W)
+    seg_diff = seg[None] * diff_window
 
     harmonics = jnp.arange(1.0, 7.0, dtype=dtype)
-    n_harm = jnp.minimum(jnp.floor(actual_fs / 2 / f0_safe), 6.0)
-    hmask = harmonics <= n_harm
-    bins = jnp.where(matlab_round_half(f0_safe * fft_size / actual_fs * harmonics) > 0,
-                     jnp.trunc(matlab_round_half(f0_safe * fft_size / actual_fs
-                                                 * harmonics)), 0.0)
-    n_idx = jnp.arange(seg.shape[0], dtype=dtype)
-    theta = (-2.0 * jnp.pi / fft_size) * bins[:, None] * n_idx[None, :]
-    c, s = jnp.cos(theta), jnp.sin(theta)
-    re_s = c @ seg_main
-    im_s = s @ seg_main
-    re_d = c @ seg_diff
-    im_d = s @ seg_diff
+    n_harm = jnp.minimum(jnp.floor(actual_fs / 2 / f0), 6.0)
+    hmask = harmonics[None, None, :] <= n_harm[..., None]  # (C, B, 6)
+    bins = jnp.trunc(f0[..., None] * fft_size[..., None] / actual_fs
+                     * harmonics[None, None, :] + 0.5)     # (C, B, 6)
+    n_idx = jnp.arange(W, dtype=dtype)
+    theta = ((-2.0 * jnp.pi) * bins / fft_size[..., None])[..., None] \
+        * n_idx[None, None, None, :]                       # (C, B, 6, W)
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    re_s = jnp.sum(ct * seg_main[:, :, None, :], axis=-1)
+    im_s = jnp.sum(st * seg_main[:, :, None, :], axis=-1)
+    re_d = jnp.sum(ct * seg_diff[:, :, None, :], axis=-1)
+    im_d = jnp.sum(st * seg_diff[:, :, None, :], axis=-1)
     numerator = re_s * im_d - im_s * re_d
     power = re_s ** 2 + im_s ** 2
-    inst_freq = (bins / fft_size + numerator / jnp.maximum(power, jnp.finfo(dtype).tiny)
+    inst_freq = (bins / fft_size[..., None]
+                 + numerator / jnp.maximum(power, jnp.finfo(dtype).tiny)
                  / 2 / jnp.pi) * actual_fs
     amp = jnp.sqrt(power) * hmask
-    refined = jnp.sum(amp * inst_freq) / jnp.maximum(jnp.sum(amp * harmonics), jnp.finfo(dtype).tiny)
-    variation = jnp.abs((inst_freq / harmonics - f0_safe) / f0_safe)
+    refined = (jnp.sum(amp * inst_freq, axis=-1)
+               / jnp.maximum(jnp.sum(amp * harmonics[None, None, :], axis=-1),
+                             jnp.finfo(dtype).tiny))
+    variation = jnp.abs((inst_freq / harmonics[None, None, :] - f0[..., None])
+                        / f0[..., None])
     score = 1.0 / (0.000000000001
-                   + jnp.sum(jnp.where(hmask, variation, 0.0)) / jnp.maximum(n_harm, 1.0))
-    ok = (refined >= f0_floor) & (refined <= f0_ceil) & (score >= 2.5) & (f0_c != 0)
+                   + jnp.sum(jnp.where(hmask, variation, 0.0), axis=-1)
+                   / jnp.maximum(n_harm, 1.0))
+    ok = ((refined >= f0_floor) & (refined <= f0_ceil) & (score >= 2.5)
+          & (cands != 0))
     return jnp.where(ok, refined, 0.0), jnp.where(ok, score, 0.0)
 
 
 def refine_candidates(y, actual_fs, temporal_positions, cands, f0_floor, f0_ceil,
-                      max_half: int, frame_chunk: int = 512):
-    """RefineCandidates (harvest.py:131-150) as one masked batched compute."""
+                      max_half: int, stride_samples: float = None,
+                      frame_chunk: int = 512):
+    """RefineCandidates (harvest.py:131-150): per-frame segments are shared
+    across all candidates (the gather index does not depend on f0), extracted
+    gather-free on the uniform frame grid."""
+    from ..frames import uniform_centered_slabs
+
     C, F = cands.shape
+    W = 2 * max_half + 1
+    if stride_samples is not None:
+        slab = uniform_centered_slabs(y, actual_fs, stride_samples / actual_fs,
+                                      F, temporal_positions, max_half + 1)
+        seg = slab[:, :W]                                   # (F, W)
+    else:
+        center = jnp.floor(temporal_positions[:, None] * actual_fs + 0.501)
+        base = jnp.arange(-max_half, max_half + 1)[None, :]
+        safe = jnp.clip(center + base, 1, y.shape[0]).astype(jnp.int32)
+        seg = jnp.take(y, safe - 1)
+
     pad = (-F) % frame_chunk
     tp_p = jnp.pad(temporal_positions, (0, pad))
+    seg_p = jnp.pad(seg, ((0, pad), (0, 0)))
     cands_p = jnp.pad(cands, ((0, 0), (0, pad)))
-
-    def chunk_fn(args):
-        tp_c, cd_c = args  # (B,), (C, B)
-        fn = jax.vmap(jax.vmap(
-            lambda t, f: _refine_task(y, actual_fs, t, f, f0_floor, f0_ceil,
-                                      max_half),
-            in_axes=(None, 0)), in_axes=(0, 1), out_axes=1)
-        return fn(tp_c, cd_c)
-
     nb = (F + pad) // frame_chunk
     tp_b = tp_p.reshape(nb, frame_chunk)
+    seg_b = seg_p.reshape(nb, frame_chunk, W)
     cd_b = cands_p.reshape(C, nb, frame_chunk).transpose(1, 0, 2)
-    ref, score = jax.lax.map(chunk_fn, (tp_b, cd_b))
+
+    def chunk_fn(args):
+        t_c, sg_c, cd_c = args
+        return _refine_block(sg_c, t_c, cd_c, actual_fs, f0_floor, f0_ceil,
+                             max_half)
+
+    ref, score = jax.lax.map(chunk_fn, (tp_b, seg_b, cd_b))
     ref = ref.transpose(1, 0, 2).reshape(C, F + pad)[:, :F]
     score = score.transpose(1, 0, 2).reshape(C, F + pad)[:, :F]
     return ref, score
@@ -597,7 +627,8 @@ def _harvest_core(x, fs, f0_floor, f0_ceil, frame_period, max_candidates,
     cands1 = overlap_candidates(cands0, max_candidates)
     max_half = int(np.ceil(3 * actual_fs / f0_floor / 2))
     cands2, scores2 = refine_candidates(y, actual_fs, basic_tp, cands1,
-                                        f0_floor, f0_ceil, max_half)
+                                        f0_floor, f0_ceil, max_half,
+                                        stride_samples=actual_fs * 0.001)
     cands3, scores3 = remove_unreliable(cands2, scores2)
 
     f0_base = search_f0_base(cands3, scores3)

@@ -5,9 +5,86 @@ loops (e.g. /root/reference/world/cheaptrick.py:79-99, d4c.py:92-110).  Here
 every frame gathers a static MAXLEN slab centered on its 1-based anchor index
 and applies a validity mask; one vmap/batched gather replaces all loops.
 """
+from fractions import Fraction
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .dsp.rounding import round_matlab
+
+
+def uniform_frame_period_ms(temporal_positions):
+    """Frame period in ms if temporal_positions is the standard uniform grid
+    (arange * fp / 1000), else None (slower gather paths are used then)."""
+    tp = np.asarray(temporal_positions)
+    if tp.ndim != 1 or tp.shape[0] < 3:
+        return None
+    fp_ms = float(tp[1] - tp[0]) * 1000.0
+    if fp_ms <= 0:
+        return None
+    grid = np.arange(tp.shape[0]) * fp_ms / 1000.0
+    if np.allclose(tp, grid, rtol=0, atol=1e-9):
+        return fp_ms
+    return None
+
+
+def uniform_frames(x, stride_samples: float, n_frames: int, width: int,
+                   rel_start: int):
+    """Extract (n_frames, width) slabs slab[q, j] = x_clamped[r(q)+rel_start+j]
+    with r(q) = floor(q * stride) — evaluated EXACTLY on the rational stride —
+    using only pads and strided patch extraction (no gathers; TPU gathers run
+    at ~60M elem/s which would dominate every windowed analysis stage).
+
+    Index clamping to the signal bounds is realized by edge-padding, which is
+    exactly the reference's min/max index clamp (e.g. cheaptrick.py:90-91).
+    """
+    from jax import lax
+
+    n = x.shape[-1]
+    frac = Fraction(stride_samples).limit_denominator(1000)
+    pnum, qden = frac.numerator, frac.denominator
+    a_count = (n_frames + qden - 1) // qden + 1
+    pl = max(0, -rel_start) + 4
+    pr = max(0, (a_count - 1) * pnum + pnum + rel_start + width + 8 - n)
+    xpad = jnp.pad(x, (pl, pr), mode="edge")
+    outs = []
+    for bres in range(qden):
+        c_b = (bres * pnum) // qden
+        s = pl + c_b + rel_start
+        seg = xpad[s : s + (a_count - 1) * pnum + width]
+        p = lax.conv_general_dilated_patches(
+            seg[None, None, :], (width,), (pnum,), "VALID")  # (1, width, a)
+        outs.append(p[0].T)                                   # (a, width)
+    grid = jnp.stack(outs, axis=1)                            # (a, qden, width)
+    return grid.reshape(-1, width)[:n_frames]
+
+
+def uniform_centered_slabs(x, fs: float, frame_period_s: float, n_frames: int,
+                           temporal_positions, max_half: int, margin: int = 0):
+    """(n_frames, 2*max_half+1+2*margin) slabs centered on the reference's
+    per-frame anchor center(q) = floor(t_q*fs + 0.501) + 1 (1-based), i.e.
+    0-based window start center-1-max_half-margin, robust to ±1 fp slop via a
+    4-way shift select.  Returns (slabs, d) where d is the extra data-driven
+    shift budget used: callers read window j at slab[:, j + margin]."""
+    stride = fs * frame_period_s
+    width0 = 2 * max_half + 1 + 2 * margin
+    slab = uniform_frames(x, stride, n_frames, width0 + 3,
+                          -max_half - margin - 1)
+    T = temporal_positions * fs
+    center = jnp.floor(T + 0.501) + 1.0
+    # exact rational r(q) recomputed on host grid: delta = center-1-... - slab0
+    frac = Fraction(stride).limit_denominator(1000)
+    pnum, qden = frac.numerator, frac.denominator
+    q = np.arange(n_frames)
+    r = (q * pnum) // qden
+    slab0 = jnp.asarray(r, x.dtype) - max_half - margin - 1
+    d = (center - 1.0 - max_half - margin - slab0).astype(jnp.int32)
+    d = jnp.clip(d, 0, 3)
+    out = jnp.where((d == 0)[:, None], slab[:, 0:width0], 0.0)
+    for dd in range(1, 4):
+        out = jnp.where((d == dd)[:, None], slab[:, dd : dd + width0], out)
+    return out
 
 
 def gather_1based(x, index_float_1based):
@@ -64,6 +141,43 @@ def windowed_segment(x, fs, f0, temporal_position, half_length, max_half: int,
 
     sw = segment * window
     waveform = sw - window * (jnp.sum(sw) / jnp.sum(window))
+    return jnp.where(mask, waveform, 0.0), mask, window
+
+
+def apply_adaptive_window(segment, fs, f0, temporal_position, half_length,
+                          max_half: int, window_type: str,
+                          sub_sample_shift: bool,
+                          normalize_window: bool = False):
+    """F0-adaptive windowing + weighted-mean removal on pre-gathered
+    segments (F, 2*max_half+1) aligned to base_index = -max_half..max_half."""
+    x_dtype = segment.dtype
+    f0 = f0[:, None]
+    t = temporal_position[:, None]
+    half = jnp.floor(half_length * fs / f0 + 0.5)
+    base_index = jnp.arange(-max_half, max_half + 1, dtype=x_dtype)[None, :]
+    mask = jnp.abs(base_index) <= half
+    segment = segment * mask
+
+    if sub_sample_shift:
+        frac = (t * fs - jnp.floor(t * fs + 0.5)) / fs
+        time_axis = base_index / fs / half_length + frac
+    else:
+        time_axis = jnp.broadcast_to(base_index / fs / half_length, mask.shape)
+
+    if window_type == "hanning":
+        window = 0.5 * jnp.cos(jnp.pi * time_axis * f0) + 0.5
+    elif window_type == "blackman":
+        window = (0.08 * jnp.cos(jnp.pi * time_axis * f0 * 2)
+                  + 0.5 * jnp.cos(jnp.pi * time_axis * f0) + 0.42)
+    else:
+        raise ValueError(window_type)
+    window = jnp.where(mask, window, 0.0)
+    if normalize_window:
+        window = window / jnp.sqrt(jnp.sum(window ** 2, axis=1, keepdims=True))
+
+    sw = segment * window
+    waveform = sw - window * (jnp.sum(sw, axis=1, keepdims=True)
+                              / jnp.sum(window, axis=1, keepdims=True))
     return jnp.where(mask, waveform, 0.0), mask, window
 
 

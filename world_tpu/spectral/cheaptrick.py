@@ -19,7 +19,8 @@ import numpy as np
 
 from ..dsp.interp import interp1h_uniform
 from ..dsp.minphase import mirror_full
-from ..frames import windowed_segment_batch
+from ..frames import (apply_adaptive_window, uniform_frame_period_ms,
+                      windowed_segment_batch)
 
 
 def default_fft_size(fs: int) -> int:
@@ -58,27 +59,31 @@ def _power_spectrum_with_dc_fill(waveform_padded, shift, fs, fft_size, f0, dtype
     power_half = jnp.abs(ps_spectrum[:, : fft_size // 2 + 1]) ** 2
 
     df = fs / fft_size
-    # bins with frequency < f0 + df get a mirrored replica added
+    # bins with frequency < f0 + df get a mirrored replica added; only a
+    # small static low-frequency slice participates (f0 <= ~2.6 kHz), so the
+    # row gathers run on (F, KL) instead of (F, kmax) — TPU gathers are slow
     kmax = fft_size // 2 + 1
-    freqs = jnp.arange(kmax, dtype=dtype)[None, :] * df
+    KL = min(kmax, 128)
+    freqs = jnp.arange(KL, dtype=dtype)[None, :] * df
     f0c = f0[:, None]
     in_low = freqs < f0c + df            # the replica's source/query set
-    m = jnp.sum(in_low, axis=1, keepdims=True)
+    m = jnp.minimum(jnp.sum(in_low, axis=1, keepdims=True), KL)
     # ascending grid of (f0 - low_axis) reversed: x0 = f0-(m-1)df, step df
     x0 = f0c - (m - 1) * df
-    y_src = jnp.where(in_low, power_half, 0.0)
-    j = jnp.arange(kmax)[None, :]
-    y_asc = take_rows(y_src, jnp.clip(m - 1 - j, 0, kmax - 1))
+    y_src = jnp.where(in_low, power_half[:, :KL], 0.0)
+    j = jnp.arange(KL)[None, :]
+    y_asc = take_rows(y_src, jnp.clip(m - 1 - j, 0, KL - 1))
     # linear interp with end extrapolation (scipy fill_value='extrapolate')
     pos = (freqs - x0) / df
     base = jnp.clip(jnp.floor(pos), 0, m - 2)
     frac = pos - base
     b = base.astype(jnp.int32)
     y0 = take_rows(y_asc, b)
-    y1 = take_rows(y_asc, jnp.minimum(b + 1, kmax - 1))
+    y1 = take_rows(y_asc, jnp.minimum(b + 1, KL - 1))
     replica = y0 + (y1 - y0) * frac
     add = jnp.where(freqs < f0c, replica, 0.0)
-    return power_half + add, ps_spectrum
+    add_full = jnp.pad(add, ((0, 0), (0, kmax - KL)))
+    return power_half + add_full, ps_spectrum
 
 
 def _linear_smoothing(power_full, f0, fs, fft_size: int, dtype):
@@ -119,8 +124,9 @@ def _smoothing_with_recovery(smoothed_full, f0, fs, fft_size: int, q1, dtype):
     return env[:, : fft_size // 2 + 1]
 
 
-@partial(jax.jit, static_argnames=("fs", "fft_size", "q1"))
-def _cheaptrick_core(x, fs, f0_seq, temporal_positions, fft_size, q1):
+@partial(jax.jit, static_argnames=("fs", "fft_size", "q1", "frame_period_ms"))
+def _cheaptrick_core(x, fs, f0_seq, temporal_positions, fft_size, q1,
+                     frame_period_ms=None):
     dtype = x.dtype
     f0_low_limit = fs * 3.0 / (fft_size - 3.0)
     default_f0 = 500.0
@@ -128,8 +134,12 @@ def _cheaptrick_core(x, fs, f0_seq, temporal_positions, fft_size, q1):
 
     max_half = (fft_size - 2) // 2  # half <= int(1.5*fs/f0_low_limit+.5) <= this
 
-    waveform, _, _ = windowed_segment_batch(
-        x, float(fs), f0_eff, temporal_positions, 1.5, max_half, "hanning",
+    from ..aperiodicity.common import frame_segments
+
+    seg = frame_segments(x, float(fs), temporal_positions, max_half,
+                         frame_period_ms)
+    waveform, _, _ = apply_adaptive_window(
+        seg, float(fs), f0_eff, temporal_positions, 1.5, max_half, "hanning",
         sub_sample_shift=False, normalize_window=True)
     half = jnp.floor(1.5 * fs / f0_eff + 0.5).astype(jnp.int32)
     shift = max_half - half
@@ -157,7 +167,9 @@ def cheaptrick(x, fs, source_object, q1=-0.15, fft_size=None):
     vuv = jnp.asarray(source_object["vuv"])
     f0 = jnp.where(vuv == 0, 500.0, f0)
     tp = jnp.asarray(source_object["temporal_positions"])
-    env, ps_spec, f0_eff = _cheaptrick_core(x, int(fs), f0, tp, int(fft_size), float(q1))
+    fp_ms = uniform_frame_period_ms(source_object["temporal_positions"])
+    env, ps_spec, f0_eff = _cheaptrick_core(x, int(fs), f0, tp, int(fft_size),
+                                            float(q1), fp_ms)
     return {
         "temporal_positions": source_object["temporal_positions"],
         "spectrogram": env.T,
