@@ -442,20 +442,25 @@ def fix_step3(f0_step2, cands, scores, allowed_range: float = 0.18,
         lp_b = jnp.maximum(1, st - threshold1)
         pos_b, val_b, m_b, r0 = _extend_chain(
             f0_step2, st, lp_b, -1, cands, allowed_range, threshold1 + 1)
-        # assemble the extended section row: base section + the two chains
-        # (gather-based: each frame looks up its chain step, no scatters)
+        # assemble the extended section row: base section + the two chains.
+        # placing a 101-vector at a traced offset is done as an iota-masked
+        # contraction (fused onto the MXU) — both gathers and scatters
+        # serialize on TPU
         i = jnp.arange(n)
         row = jnp.where((i >= st) & (i <= ed), f0_step2, 0.0)
-        kf = i - ed - 1
-        okf = (kf >= 0) & (kf <= threshold1)
-        kfc = jnp.clip(kf, 0, threshold1)
-        use_f = okf & jnp.take(m_f, kfc)
-        row = jnp.where(use_f, jnp.take(val_f, kfc), row)
-        kb = st - i - 1
-        okb = (kb >= 0) & (kb <= threshold1)
-        kbc = jnp.clip(kb, 0, threshold1)
-        use_b = okb & jnp.take(m_b, kbc)
-        row = jnp.where(use_b, jnp.take(val_b, kbc), row)
+        k = jnp.arange(threshold1 + 1)
+        eq_f = (i[None, :] - ed - 1) == k[:, None]          # (K, n)
+        vf = jnp.einsum("k,kn->n", jnp.where(m_f, val_f, 0.0), eq_f,
+                        preferred_element_type=row.dtype)
+        use_f = jnp.einsum("k,kn->n", m_f.astype(row.dtype), eq_f,
+                           preferred_element_type=row.dtype) > 0.5
+        row = jnp.where(use_f, vf, row)
+        eq_b = (st - i[None, :] - 1) == k[:, None]
+        vb = jnp.einsum("k,kn->n", jnp.where(m_b, val_b, 0.0), eq_b,
+                        preferred_element_type=row.dtype)
+        use_b = jnp.einsum("k,kn->n", m_b.astype(row.dtype), eq_b,
+                           preferred_element_type=row.dtype) > 0.5
+        row = jnp.where(use_b, vb, row)
         in_rng = (i >= r0) & (i <= r1)
         mean_f0 = jnp.sum(jnp.where(in_rng, row, 0.0)) / jnp.sum(in_rng)
         keep = valid & (threshold2 / mean_f0 < (r1 - r0))

@@ -42,11 +42,13 @@ def _encode_decode_one(x, pulse_seed, noise_seed, fs: int, frame_period: int,
     f0, vuv, tp = hv["f0"], hv["vuv"], hv["temporal_positions"]
     fft_size = default_fft_size(fs)
     f0_ct = jnp.where(vuv == 0, 500.0, f0)
-    env, _, f0_eff = _cheaptrick_core(x, fs, f0_ct, tp, fft_size, -0.15)
+    fp_ms = float(frame_period)
+    env, _, f0_eff = _cheaptrick_core(x, fs, f0_ct, tp, fft_size, -0.15, fp_ms)
     f0_d4c = jnp.where(vuv == 0, 0.0, f0_eff)
     fft_req = int(2 ** np.ceil(np.log2(3 * fs / 47 + 1)))
     n_ap = int(np.floor(min(15000, fs / 2 - 3000) / 3000))
-    band_ap = _d4c_requiem_core(x, fs, f0_d4c, tp, fft_req, 0.85, 3000.0, n_ap)
+    band_ap = _d4c_requiem_core(x, fs, f0_d4c, tp, fft_req, 0.85, 3000.0, n_ap,
+                                fp_ms)
 
     y_length = int(np.floor((int(1000 * sig_len / fs / frame_period + 1) - 1)
                             * frame_period / 1000 * fs)) + 1
