@@ -49,10 +49,12 @@ def test_synthesis_requiem_matches(mwm, src):
     assert y.shape == ref.shape
     err = np.abs(y - ref)
     scale = np.abs(ref).max()
-    frac_exact = (err < 1e-8 * max(scale, 1e-9)).mean()
-    assert frac_exact > 0.90, f"sample-exact fraction {frac_exact}"
+    # envelope smoothing runs through an FFT row-shift (1e-7-relative noise)
+    # and XLA's tree cumsum can move a pulse boundary by one sample
+    frac_close = (err < 1e-6 * max(scale, 1e-9)).mean()
+    assert frac_close > 0.99, f"sample-close fraction {frac_close}"
     corr = np.corrcoef(y, ref)[0, 1]
-    assert corr > 0.99, f"waveform correlation {corr}"
+    assert corr > 0.999, f"waveform correlation {corr}"
 
 
 def test_seed_generation_statistics():

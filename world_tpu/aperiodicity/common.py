@@ -85,37 +85,44 @@ def dc_correction_half(signal_half, f0, fs, fft_size: int, dtype):
     return signal_half + jnp.pad(add, ((0, 0), (0, kmax - KL)))
 
 
-def linear_smoothing_full_to_half(signal_full, width, fs, fft_size: int, dtype):
-    """Rectangular smoothing of an even full spectrum (d4c.py:178-188).
+def rect_smooth_half(signal_full, width, fs, fft_size: int, dtype):
+    """Rectangular smoothing of an even full spectrum (d4c.py:178-188,
+    cheaptrick.py:103-116): cumsum high/low difference at per-frame ±width/2.
 
-    signal_full: (F, fft_size); width: (F,) or scalar.
-    Returns (F, fft_size//2+1).
+    The per-frame query offsets are CONSTANT along the bin axis, so the two
+    lerped cumsum reads are per-row fractional shifts — evaluated as ONE
+    FFT phase ramp instead of row gathers (TPU gathers serialize; the
+    fs-wide query range stays far from the circular boundary, so no wrap).
+    Returns (F, fft_size//2+1) == (cs(k*df+w/2) - cs(k*df-w/2)) / width.
     """
     df = fs / fft_size
     width = jnp.asarray(width)
     if width.ndim == 1:
         width = width[:, None]
     double_spectrum = jnp.concatenate([signal_full, signal_full], axis=-1)
-    double_segment = matmul_cumsum(double_spectrum * df)
+    cs = matmul_cumsum(double_spectrum * df)
+    M = 2 * fft_size
     x0 = -fs + df / 2
-    last_x = x0 + (2 * fft_size - 1) * df
-    center = jnp.arange(fft_size // 2 + 1, dtype=dtype)[None, :] * df
+    # query position for bin k: k + alpha with per-row alpha = (+-w/2 - x0)/df
+    a_lo = (-width / 2 - x0) / df
+    a_hi = (width / 2 - x0) / df
+    Y = jnp.fft.rfft(cs, axis=-1)
+    j = jnp.arange(M // 2 + 1, dtype=dtype)[None, :]
+    w_ang = 2 * jnp.pi * j / M
 
-    def interp(xq):
-        xq = jnp.maximum(x0, jnp.minimum(last_x, xq))
-        pos = (xq - x0) / df
-        base = jnp.floor(pos)
-        frac = pos - base
-        b = jnp.clip(base.astype(jnp.int32), 0, 2 * fft_size - 1)
-        nb = jnp.minimum(b + 1, 2 * fft_size - 1)
-        y0 = take_rows(double_segment, b)
-        y1 = take_rows(double_segment, nb)
-        delta = jnp.where(b >= 2 * fft_size - 1, 0.0, y1 - y0)
-        return y0 + delta * frac
+    def ramp(alpha):
+        # y[k] = cs[k + alpha]  <=>  Y[j] * e^{+i w j alpha} (fractional lerp)
+        m = jnp.floor(alpha)
+        frac = (alpha - m).astype(dtype)
+        return ((1 - frac) * jnp.exp(1j * w_ang * m)
+                + frac * jnp.exp(1j * w_ang * (m + 1)))
 
-    low = interp(center - width / 2)
-    high = interp(center + width / 2)
-    return (high - low) / width
+    diff = jnp.fft.irfft(Y * (ramp(a_hi) - ramp(a_lo)), M, axis=-1)
+    return diff[:, : fft_size // 2 + 1] / width
+
+
+# backwards-compatible name
+linear_smoothing_full_to_half = rect_smooth_half
 
 
 def love_train_vuv(x, fs, f0, temporal_positions, threshold, max_half: int,

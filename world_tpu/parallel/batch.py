@@ -55,7 +55,7 @@ def _encode_decode_one(x, pulse_seed, noise_seed, fs: int, frame_period: int,
     noise_offsets = jnp.zeros(pulse_seed.shape[1], jnp.int32)
     excitation = _excitation_core(tp, f0_d4c, vuv, band_ap.T, pulse_seed,
                                   noise_seed, noise_offsets, fs, y_length,
-                                  max_pulses)
+                                  max_pulses, 40, float(frame_period) / 1000.0)
     fps = int(frame_period / 1000 * fs)
     y = _waveform_core(excitation, env.T, tp, fs, fft_size, fps)
     return {"f0": f0_d4c, "vuv": vuv, "spectrogram": env,

@@ -87,18 +87,12 @@ def _power_spectrum_with_dc_fill(waveform_padded, shift, fs, fft_size, f0, dtype
 
 
 def _linear_smoothing(power_full, f0, fs, fft_size: int, dtype):
-    """Rectangular smoothing of width 2*f0/3 via cumsum (cheaptrick.py:103-118)."""
-    from ..dsp.scanops import matmul_cumsum
+    """Rectangular smoothing of width 2*f0/3 (cheaptrick.py:103-118), via the
+    FFT row-shift cumsum difference (see aperiodicity.common.rect_smooth_half)."""
+    from ..aperiodicity.common import rect_smooth_half
 
-    df = fs / fft_size
-    double_spectrum = jnp.concatenate([power_full, power_full], axis=-1)
-    double_segment = matmul_cumsum(double_spectrum * df)
-    x0 = -fs + df / 2
-    last_x = x0 + (2 * fft_size - 1) * df
-    center = jnp.arange(fft_size // 2 + 1, dtype=dtype) * df
-    low = interp1h_uniform(x0, df, double_segment, center - f0 / 3, last_x)
-    high = interp1h_uniform(x0, df, double_segment, center + f0 / 3, last_x)
-    smoothed = (high - low) * 1.5 / f0
+    smoothed = rect_smooth_half(power_full, (2.0 / 3.0) * f0[:, 0], fs,
+                                fft_size, dtype)
     # guard for the quantized cumsum difference: in reduced precision the
     # high-low cancellation can dip slightly negative on noise-floor bins;
     # floor at a scale-relative tiny (inactive in f64, where only the

@@ -21,14 +21,32 @@ from ..dsp.minphase import minimum_phase_spectrum, mirror_full
 from ..dsp.windows import np_hanning_matlab
 
 
+def grid_interp(values, temporal_positions, queries, frame_period_s):
+    """interp1d(tp, values, fill_value='extrapolate') when tp is the uniform
+    frame grid: direct index arithmetic instead of a binary search (XLA's
+    searchsorted scan is ~100x slower than this on TPU).  values: (..., n)."""
+    n = values.shape[-1]
+    pos = (queries - temporal_positions[0]) / frame_period_s
+    j = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
+    frac = pos - j
+    y0 = values[..., j]
+    y1 = values[..., j + 1]
+    return y0 + (y1 - y0) * frac
+
+
 def _time_base(temporal_positions, f0, vuv, fs, time_axis, default_f0,
-               max_pulses: int, wrap_threshold=jnp.pi):
+               max_pulses: int, wrap_threshold=jnp.pi, frame_period_s=None):
     """Pulse locations from the wrapped phase (synthesis.py:120-140).
 
     ``wrap_threshold`` pi/2 reproduces the older synthesis_a variant's pulse
     detection (synthesis_a.py:113-115)."""
-    f0_interp = interp1_extrap(temporal_positions, f0, time_axis)
-    vuv_interp = interp1_extrap(temporal_positions, vuv, time_axis) > 0.5
+    if frame_period_s is not None:
+        f0_interp = grid_interp(f0, temporal_positions, time_axis, frame_period_s)
+        vuv_interp = grid_interp(vuv, temporal_positions, time_axis,
+                                 frame_period_s) > 0.5
+    else:
+        f0_interp = interp1_extrap(temporal_positions, f0, time_axis)
+        vuv_interp = interp1_extrap(temporal_positions, vuv, time_axis) > 0.5
     f0_interp = jnp.where(vuv_interp, f0_interp, 0.0)
     f0_interp = jnp.where(f0_interp == 0, default_f0, f0_interp)
 
@@ -50,10 +68,11 @@ def _time_base(temporal_positions, f0, vuv, fs, time_axis, default_f0,
 
 @partial(jax.jit, static_argnames=("fs", "y_length", "fft_size", "max_pulses",
                                    "max_noise", "noise_mode", "variant",
-                                   "k_overlap"))
+                                   "k_overlap", "frame_period_s"))
 def _synthesis_core(f0, vuv, temporal_positions, spectrogram, aperiodicity,
                     key, fs, y_length, fft_size, max_pulses, max_noise,
-                    noise_mode, variant="standard", k_overlap=48):
+                    noise_mode, variant="standard", k_overlap=48,
+                    frame_period_s=None):
     from ..dsp.ola import gather_ola
 
     dtype = spectrogram.dtype
@@ -62,13 +81,17 @@ def _synthesis_core(f0, vuv, temporal_positions, spectrogram, aperiodicity,
     wrap_threshold = jnp.pi if variant == "standard" else jnp.pi / 2
     pulse_locations, pli, shifts, vuv_interp, count = _time_base(
         temporal_positions, f0, vuv, float(fs), time_axis, default_f0,
-        max_pulses, wrap_threshold)
+        max_pulses, wrap_threshold, frame_period_s)
     if variant == "a":  # synthesis_a: no fractional time shift
         shifts = jnp.zeros_like(shifts)
 
     n_frames = temporal_positions.shape[0]
-    tpi = interp1_extrap(temporal_positions,
-                         jnp.arange(1, n_frames + 1, dtype=dtype), pulse_locations)
+    frame_ids = jnp.arange(1, n_frames + 1, dtype=dtype)
+    if frame_period_s is not None:
+        tpi = grid_interp(frame_ids, temporal_positions, pulse_locations,
+                          frame_period_s)
+    else:
+        tpi = interp1_extrap(temporal_positions, frame_ids, pulse_locations)
     tpi = jnp.clip(tpi, 1.0, float(n_frames))
 
     S = spectrogram.T                     # (frames, bins)
@@ -170,12 +193,16 @@ def synthesis(source_object, filter_object, key=None, noise_mode="gaussian",
         key = jax.random.PRNGKey(0)
     f0_hi = max(500.0, float(f0.max()) * 1.05)
     k_overlap = min(int(np.ceil(fft_size * f0_hi / fs / 8) + 1) * 8, max_pulses)
+    from ..frames import uniform_frame_period_ms
+
+    fp_ms = uniform_frame_period_ms(tp)
+    fp_s = None if fp_ms is None else fp_ms / 1000.0
 
     return _synthesis_core(
         jnp.asarray(f0, spectrogram.dtype),
         jnp.asarray(vuv, spectrogram.dtype), jnp.asarray(tp, spectrogram.dtype),
         spectrogram, aperiodicity, key, fs, time_axis_len, fft_size,
-        max_pulses, max_noise, noise_mode, variant, k_overlap)
+        max_pulses, max_noise, noise_mode, variant, k_overlap, fp_s)
 
 
 def synthesis_a(source_object, filter_object, key=None, noise_mode="gaussian",

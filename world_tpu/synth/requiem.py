@@ -22,10 +22,18 @@ from ..dsp.minphase import minimum_phase_spectrum, mirror_full
 from ..dsp.windows import np_hanning_matlab
 
 
-def _pulse_locations(temporal_positions, f0, vuv, fs, time_axis, max_pulses: int):
+def _pulse_locations(temporal_positions, f0, vuv, fs, time_axis, max_pulses: int,
+                     frame_period_s=None):
     """time_base_generation (synthesisRequiem.py:104-118): no time shift."""
-    f0_i = interp1_extrap(temporal_positions, f0, time_axis)
-    vuv_i = interp1_extrap(temporal_positions, vuv, time_axis) > 0.5
+    from .classic import grid_interp
+
+    if frame_period_s is not None:
+        f0_i = grid_interp(f0, temporal_positions, time_axis, frame_period_s)
+        vuv_i = grid_interp(vuv, temporal_positions, time_axis,
+                            frame_period_s) > 0.5
+    else:
+        f0_i = interp1_extrap(temporal_positions, f0, time_axis)
+        vuv_i = interp1_extrap(temporal_positions, vuv, time_axis) > 0.5
     f0_i = jnp.where(vuv_i, f0_i, 0.0)
     f0_i = jnp.where(f0_i == 0, 500.0, f0_i)
     total_phase = jnp.cumsum(2 * jnp.pi * f0_i / fs)
@@ -39,21 +47,28 @@ def _pulse_locations(temporal_positions, f0, vuv, fs, time_axis, max_pulses: int
     return pli, count, vuv_i
 
 
-@partial(jax.jit, static_argnames=("fs", "y_length", "max_pulses", "k_overlap"))
+@partial(jax.jit, static_argnames=("fs", "y_length", "max_pulses", "k_overlap",
+                                   "frame_period_s"))
 def _excitation_core(temporal_positions, f0, vuv, band_ap_db, pulse_seed,
                      noise_seed, noise_offsets, fs, y_length, max_pulses,
-                     k_overlap=40):
+                     k_overlap=40, frame_period_s=None):
     dtype = pulse_seed.dtype
     fft_size = pulse_seed.shape[0]
     n_bands = pulse_seed.shape[1]
     time_axis = jnp.arange(y_length, dtype=dtype) / fs + temporal_positions[0]
     pli, count, vuv_i = _pulse_locations(temporal_positions, f0, vuv, float(fs),
-                                         time_axis, max_pulses)
+                                         time_axis, max_pulses, frame_period_s)
 
     # band aperiodicity resampled to the sample grid (linear in 10^(dB/10))
     ap_lin = 10.0 ** (band_ap_db / 10.0)      # (bands, frames)
-    interp_ap = jax.vmap(lambda row: interp1_extrap(temporal_positions, row,
-                                                    time_axis))(ap_lin)
+    if frame_period_s is not None:
+        from .classic import grid_interp
+
+        interp_ap = grid_interp(ap_lin, temporal_positions, time_axis,
+                                frame_period_s)
+    else:
+        interp_ap = jax.vmap(lambda row: interp1_extrap(
+            temporal_positions, row, time_axis))(ap_lin)
 
     # aperiodic component: per-band tiled velvet noise x interpolated ap
     noise_len = noise_seed.shape[0]
@@ -131,10 +146,14 @@ def synthesis_requiem(source_object, filter_object, seeds_signals,
     f0_hi = max(500.0, float(f0.max()) * 1.1)
     k_overlap = min(int(np.ceil(fft_seed * f0_hi / fs)) + 8, max_pulses)
     k_overlap = int(np.ceil(k_overlap / 8) * 8)
+    from ..frames import uniform_frame_period_ms
+
+    fp_ms = uniform_frame_period_ms(tp)
+    fp_s = None if fp_ms is None else fp_ms / 1000.0
     excitation = _excitation_core(
         jnp.asarray(tp), jnp.asarray(f0), jnp.asarray(vuv), band_ap,
         pulse_seed, noise_seed, noise_offsets, fs, y_length, max_pulses,
-        k_overlap)
+        k_overlap, fp_s)
     fft_size = (spectrogram.shape[0] - 1) * 2
     fps = int((tp[1] - tp[0]) * fs)
     return _waveform_core(excitation, spectrogram, jnp.asarray(tp), fs,
