@@ -18,11 +18,14 @@ from jax import lax
 
 
 def _compose(left, right):
+    # elements laid out scan-axis-LAST: A (..., k, k, n), b (..., k, n) — the
+    # tiny state dims must not sit in the minor-two positions or the TPU
+    # (8,128) tiling pads them ~40x
     a1, b1 = left
     a2, b2 = right
     return (
-        jnp.einsum("...ij,...jk->...ik", a2, a1),
-        jnp.einsum("...ij,...j->...i", a2, b1) + b2,
+        jnp.einsum("...ijn,...jkn->...ikn", a2, a1),
+        jnp.einsum("...ijn,...jn->...in", a2, b1) + b2,
     )
 
 
@@ -34,11 +37,12 @@ def linear_recurrence(A, bx, s0=None):
     """
     bx = jnp.asarray(bx)
     n, k = bx.shape[-2], bx.shape[-1]
-    A_b = jnp.broadcast_to(A, bx.shape[:-2] + (n, k, k))
-    Afull, bfull = lax.associative_scan(_compose, (A_b, bx), axis=bx.ndim - 2)
+    bxl = jnp.moveaxis(bx, -2, -1)                       # (..., k, n)
+    A_b = jnp.broadcast_to(A[..., None], bx.shape[:-2] + (k, k, n))
+    Afull, bfull = lax.associative_scan(_compose, (A_b, bxl), axis=bx.ndim - 1)
     if s0 is not None:
-        bfull = bfull + jnp.einsum("...ij,...j->...i", Afull, s0)
-    return bfull
+        bfull = bfull + jnp.einsum("...ijn,...j->...in", Afull, s0)
+    return jnp.moveaxis(bfull, -1, -2)                   # (..., n, k)
 
 
 def lfilter_coeffs_state_space(b, a):
