@@ -17,32 +17,47 @@ import numpy as np
 from jax import lax
 
 
-def _compose(left, right):
-    # elements laid out scan-axis-LAST: A (..., k, k, n), b (..., k, n) — the
-    # tiny state dims must not sit in the minor-two positions or the TPU
-    # (8,128) tiling pads them ~40x
-    a1, b1 = left
-    a2, b2 = right
-    return (
-        jnp.einsum("...ijn,...jkn->...ikn", a2, a1),
-        jnp.einsum("...ijn,...jn->...in", a2, b1) + b2,
-    )
-
-
 def linear_recurrence(A, bx, s0=None):
     """Evaluate s_t = A @ s_{t-1} + bx[t] for t=0..n-1; returns all s_t.
 
     A: (k, k) constant matrix; bx: (..., n, k) forcing terms (scan along -2).
     s0: optional (..., k) initial state (defaults to zeros).
+
+    The associative-scan elements are kept as k*k+k SEPARATE (..., n) arrays
+    (scan axis minor-most): packing the tiny state dims into trailing matrix
+    dims would make the TPU (8,128) tiling pad them ~40x.
     """
     bx = jnp.asarray(bx)
     n, k = bx.shape[-2], bx.shape[-1]
-    bxl = jnp.moveaxis(bx, -2, -1)                       # (..., k, n)
-    A_b = jnp.broadcast_to(A[..., None], bx.shape[:-2] + (k, k, n))
-    Afull, bfull = lax.associative_scan(_compose, (A_b, bxl), axis=bx.ndim - 1)
+    lead = bx.shape[:-2]
+    A = jnp.asarray(A, bx.dtype)
+
+    a_elems = tuple(jnp.broadcast_to(A[i, j], lead + (n,))
+                    for i in range(k) for j in range(k))
+    b_elems = tuple(bx[..., i] for i in range(k))
+
+    def compose(left, right):
+        a1 = left[: k * k]
+        b1 = left[k * k :]
+        a2 = right[: k * k]
+        b2 = right[k * k :]
+        a_out = tuple(
+            sum(a2[i * k + m] * a1[m * k + j] for m in range(k))
+            for i in range(k) for j in range(k))
+        b_out = tuple(
+            sum(a2[i * k + m] * b1[m] for m in range(k)) + b2[i]
+            for i in range(k))
+        return a_out + b_out
+
+    out = lax.associative_scan(compose, a_elems + b_elems, axis=bx.ndim - 2)
+    afull = out[: k * k]
+    bfull = out[k * k :]
     if s0 is not None:
-        bfull = bfull + jnp.einsum("...ijn,...j->...in", Afull, s0)
-    return jnp.moveaxis(bfull, -1, -2)                   # (..., n, k)
+        bfull = tuple(
+            bfull[i] + sum(afull[i * k + j] * s0[..., j, None]
+                           for j in range(k))
+            for i in range(k))
+    return jnp.stack(bfull, axis=-1)
 
 
 def lfilter_coeffs_state_space(b, a):
