@@ -163,8 +163,9 @@ def _centroid_from_slab(slab, margin, fs, f0, t_base, t_shifted, max_half: int,
     center_s = jnp.floor(t_shifted * fs + 0.501) + 1.0
     shift = jnp.clip((center_s - center_b).astype(jnp.int32) + margin,
                      0, 2 * margin)
-    idx = shift[:, None] + jnp.arange(w0, dtype=jnp.int32)[None, :]
-    segment = take_rows(slab, idx)
+    from ..dsp.scanops import shift_select_rows
+
+    segment = shift_select_rows(slab, shift, 2 * margin, w0)
     waveform, mask, _ = apply_adaptive_window(
         segment, fs, f0, t_shifted, 2.0, max_half, "blackman",
         sub_sample_shift=True)

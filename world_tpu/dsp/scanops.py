@@ -73,6 +73,49 @@ def searchsorted_rows(a, v, side: str = "left", n_steps: int = None):
     return lo
 
 
+def count_less_rows(a, q, side: str = "left"):
+    """Row-wise searchsorted for SHORT rows via a compare-reduce.
+
+    a: (R, N) sorted rows with small N; q: (Q,) or (R, Q) queries.  Counting
+    elements < q (or <= q for side='right') costs R*N*Q fused compares —
+    far cheaper than binary-search gathers on TPU when N is small.
+    """
+    a = jnp.asarray(a)
+    q = jnp.asarray(q)
+    if q.ndim == 1:
+        q = q[None, :]
+    if side == "left":
+        hits = a[:, :, None] < q[:, None, :]
+    else:
+        hits = a[:, :, None] <= q[:, None, :]
+    return jnp.sum(hits, axis=1).astype(jnp.int32)
+
+
+def shift_select_rows(slab, shift, max_shift: int, width: int, radix: int = 16):
+    """out[r, j] = slab[r, shift[r] + j] for per-row integer shifts in
+    [0, max_shift], via a two-level radix select over static slices (a
+    per-row gather would serialize on TPU).
+
+    slab: (R, W) with W >= max_shift + width.
+    """
+    n_coarse = (max_shift // radix) + 1
+    coarse = shift // radix
+    fine = shift - coarse * radix
+    mid_w = width + radix - 1
+    need = (n_coarse - 1) * radix + mid_w
+    if need > slab.shape[1]:
+        slab = jnp.pad(slab, ((0, 0), (0, need - slab.shape[1])))
+    out = slab[:, 0:mid_w]
+    for c in range(1, n_coarse):
+        sel = (coarse == c)[:, None]
+        out = jnp.where(sel, slab[:, c * radix : c * radix + mid_w], out)
+    res = out[:, 0:width]
+    for fshift in range(1, radix):
+        sel = (fine == fshift)[:, None]
+        res = jnp.where(sel, out[:, fshift : fshift + width], res)
+    return res
+
+
 def take_rows(y, idx):
     """take_along_axis(y, idx, axis=-1) via a flat 1-D gather (TPU-fast).
 

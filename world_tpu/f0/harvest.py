@@ -129,13 +129,14 @@ def detect_candidates(raw, max_candidates: int, threshold: int = 10):
     start = (pos & ~prev).astype(jnp.int32)
     end = (pos & ~nxt).astype(jnp.int32)
 
-    from ..dsp.scanops import searchsorted_rows, take_rows
+    from ..dsp.scanops import count_less_rows, take_rows
 
     cs_start = jnp.cumsum(start, axis=0).T       # (frames, bands)
     cs_end = jnp.cumsum(end, axis=0).T
     q = jnp.arange(1, max_runs + 1, dtype=jnp.int32)
-    start_pos = searchsorted_rows(cs_start, q, side="left")
-    end_pos = searchsorted_rows(cs_end, q, side="left")
+    # rows are short (n_bands): compare-reduce beats binary-search gathers
+    start_pos = count_less_rows(cs_start, q, side="left")
+    end_pos = count_less_rows(cs_end, q, side="left")
     n_runs = cs_start[:, -1]                      # (frames,)
     run_valid = jnp.arange(max_runs)[None, :] < n_runs[:, None]
     start_pos = jnp.minimum(start_pos, n_bands - 1)
@@ -152,7 +153,7 @@ def detect_candidates(raw, max_candidates: int, threshold: int = 10):
     # compact qualifying runs (in run order) to the first max_candidates rows
     cq = jnp.cumsum(qualify.astype(jnp.int32), axis=1)
     qk = jnp.arange(1, max_candidates + 1, dtype=jnp.int32)
-    slot_pos = searchsorted_rows(cq, qk, side="left")
+    slot_pos = count_less_rows(cq, qk, side="left")
     slot_valid = qk[None, :] <= cq[:, -1:]
     cands = jnp.where(slot_valid,
                       take_rows(means, jnp.minimum(slot_pos, max_runs - 1)), 0.0)
@@ -254,7 +255,7 @@ def _refine_block(seg, t_c, cands, actual_fs, f0_floor, f0_ceil, max_half: int):
 
 def refine_candidates(y, actual_fs, temporal_positions, cands, f0_floor, f0_ceil,
                       max_half: int, stride_samples: float = None,
-                      frame_chunk: int = 512):
+                      frame_chunk: int = 1548):
     """RefineCandidates (harvest.py:131-150): per-frame segments are shared
     across all candidates (the gather index does not depend on f0), extracted
     gather-free on the uniform frame grid."""
@@ -631,9 +632,24 @@ def _harvest_core(x, fs, f0_floor, f0_ceil, frame_period, max_candidates,
     cands0, n_detected = detect_candidates(raw, max_candidates)
     cands1 = overlap_candidates(cands0, max_candidates)
     max_half = int(np.ceil(3 * actual_fs / f0_floor / 2))
-    cands2, scores2 = refine_candidates(y, actual_fs, basic_tp, cands1,
-                                        f0_floor, f0_ceil, max_half,
-                                        stride_samples=actual_fs * 0.001)
+    # compact the sparse candidate grid (typically <32 nonzero of 7*mc rows
+    # per frame) before the refinement fan-out; one-hot matmuls, no gathers
+    C2 = min(48, cands1.shape[0])
+    nz = cands1 != 0
+    rank = jnp.cumsum(nz, axis=0) - 1
+    s_ids = jnp.arange(C2)
+    sel = (rank[None, :, :] == s_ids[:, None, None]) & nz[None, :, :]
+    selF = sel.astype(cands1.dtype)
+    compact = jnp.einsum("cf,scf->sf", cands1, selF,
+                         preferred_element_type=cands1.dtype)
+    ref_c, score_c = refine_candidates(y, actual_fs, basic_tp, compact,
+                                       f0_floor, f0_ceil, max_half,
+                                       stride_samples=actual_fs * 0.001)
+    cands2 = jnp.einsum("sf,scf->cf", ref_c, selF,
+                        preferred_element_type=cands1.dtype)
+    scores2 = jnp.einsum("sf,scf->cf", score_c, selF,
+                         preferred_element_type=cands1.dtype)
+    refine_overflow = jnp.max(jnp.sum(nz, axis=0)) > C2
     cands3, scores3 = remove_unreliable(cands2, scores2)
 
     f0_base = search_f0_base(cands3, scores3)
@@ -667,4 +683,5 @@ def _harvest_core(x, fs, f0_floor, f0_ceil, frame_period, max_candidates,
         "_f0_step3": f0_step3,
         "_f0_step4": f0_step4,
         "_smoothed": smoothed,
+        "_refine_overflow": refine_overflow,
     }

@@ -72,9 +72,10 @@ def _excitation_core(temporal_positions, f0, vuv, band_ap_db, pulse_seed,
 
     # aperiodic component: per-band tiled velvet noise x interpolated ap
     noise_len = noise_seed.shape[0]
-    idx = jnp.remainder(noise_offsets[:, None]
-                        + jnp.arange(y_length)[None, :], noise_len)
-    noise = jnp.take_along_axis(noise_seed.T, idx, axis=1)  # (bands, N)
+    reps = int(np.ceil(y_length / noise_len)) + 1
+    tiled = jnp.tile(noise_seed.T, (1, reps))             # (bands, reps*len)
+    noise = jax.vmap(lambda row, off: jax.lax.dynamic_slice(
+        row, (off,), (y_length,)))(tiled, noise_offsets % noise_len)
     aperiodic = jnp.sum(noise * interp_ap, axis=0)
 
     # periodic component: (pulses, bands) weights @ (bands, fft) seeds
