@@ -57,32 +57,12 @@ def dc_correction_half(signal_half, f0, fs, fft_size: int, dtype):
     """Low-frequency mirror fill (d4c.py:213-222), batched on half spectra.
 
     signal_half: (F, kmax); f0: (F,).  in_low set: freqs < 1.2*f0; replica
-    added where freqs < f0.
+    added where freqs < f0.  Gather-free (dsp.dcfill).
     """
-    df = fs / fft_size
-    kmax = fft_size // 2 + 1
-    # only a small static low-frequency slice participates (bins < 1.2*f0;
-    # KL covers f0 up to ~2.2 kHz) — keeps the row gathers tiny
-    KL = min(kmax, 256)
-    freqs = jnp.arange(KL, dtype=dtype)[None, :] * df
-    f0c = f0[:, None]
-    in_low = freqs < 1.2 * f0c
-    m = jnp.minimum(jnp.sum(in_low, axis=1, keepdims=True), KL)
-    x0 = f0c - (m - 1) * df
-    y_src = jnp.where(in_low, signal_half[:, :KL], 0.0)
-    j = jnp.arange(KL)[None, :]
-    src_idx = jnp.clip(m - 1 - j, 0, KL - 1)
-    y_asc = take_rows(y_src, src_idx)
-    # linear interp on the ascending uniform grid with end extrapolation
-    pos = (freqs - x0) / df
-    base = jnp.clip(jnp.floor(pos), 0, m - 2)
-    frac = pos - base
-    b = base.astype(jnp.int32)
-    y0 = take_rows(y_asc, b)
-    y1 = take_rows(y_asc, jnp.minimum(b + 1, KL - 1))
-    replica = y0 + (y1 - y0) * frac
-    add = jnp.where(freqs < f0c, replica, 0.0)
-    return signal_half + jnp.pad(add, ((0, 0), (0, kmax - KL)))
+    from ..dsp.dcfill import dc_fill_add
+
+    return dc_fill_add(signal_half, f0, fs, fft_size, boundary_factor=1.2,
+                       KL=256, dtype=dtype)
 
 
 def rect_smooth_half(signal_full, width, fs, fft_size: int, dtype):

@@ -255,7 +255,7 @@ def _refine_block(seg, t_c, cands, actual_fs, f0_floor, f0_ceil, max_half: int):
 
 def refine_candidates(y, actual_fs, temporal_positions, cands, f0_floor, f0_ceil,
                       max_half: int, stride_samples: float = None,
-                      frame_chunk: int = 1548):
+                      frame_chunk: int = 4096):
     """RefineCandidates (harvest.py:131-150): per-frame segments are shared
     across all candidates (the gather index does not depend on f0), extracted
     gather-free on the uniform frame grid."""
@@ -272,6 +272,12 @@ def refine_candidates(y, actual_fs, temporal_positions, cands, f0_floor, f0_ceil
         base = jnp.arange(-max_half, max_half + 1)[None, :]
         safe = jnp.clip(center + base, 1, y.shape[0]).astype(jnp.int32)
         seg = jnp.take(y, safe - 1)
+
+    if F <= 2 * frame_chunk or frame_chunk <= 0:
+        # single block: avoids the lax.map loop entirely (the loop's carried
+        # output updates cost more than the block compute at this size)
+        return _refine_block(seg, temporal_positions, cands, actual_fs,
+                             f0_floor, f0_ceil, max_half)
 
     pad = (-F) % frame_chunk
     tp_p = jnp.pad(temporal_positions, (0, pad))

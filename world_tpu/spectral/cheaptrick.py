@@ -51,39 +51,22 @@ def _power_spectrum_with_dc_fill(waveform_padded, shift, fs, fft_size, f0, dtype
     from ..dsp.scanops import take_rows
 
     F, L = waveform_padded.shape
-    k_idx = jnp.arange(fft_size)[None, :]
-    src = shift[:, None] + k_idx
-    w = jnp.where(src < L, take_rows(waveform_padded, jnp.minimum(src, L - 1)),
-                  0.0)
-    ps_spectrum = jnp.fft.fft(w, fft_size, axis=-1)
-    power_half = jnp.abs(ps_spectrum[:, : fft_size // 2 + 1]) ** 2
+    # the window occupies [shift, shift+2*half] of the padded slab and must
+    # sit at position 0 for the fft; a circular left-shift by `shift` does
+    # that exactly (nothing nonzero wraps), and in the spectrum it is just a
+    # phase ramp — power needs NO shift at all
+    spec0 = jnp.fft.fft(waveform_padded[:, :fft_size], fft_size, axis=-1)
+    k_idx = jnp.arange(fft_size, dtype=dtype)[None, :]
+    ramp = jnp.exp((2j * jnp.pi / fft_size) * shift[:, None].astype(dtype) * k_idx)
+    ps_spectrum = spec0 * ramp
+    power_half = jnp.abs(spec0[:, : fft_size // 2 + 1]) ** 2
 
-    df = fs / fft_size
-    # bins with frequency < f0 + df get a mirrored replica added; only a
-    # small static low-frequency slice participates (f0 <= ~2.6 kHz), so the
-    # row gathers run on (F, KL) instead of (F, kmax) — TPU gathers are slow
-    kmax = fft_size // 2 + 1
-    KL = min(kmax, 128)
-    freqs = jnp.arange(KL, dtype=dtype)[None, :] * df
-    f0c = f0[:, None]
-    in_low = freqs < f0c + df            # the replica's source/query set
-    m = jnp.minimum(jnp.sum(in_low, axis=1, keepdims=True), KL)
-    # ascending grid of (f0 - low_axis) reversed: x0 = f0-(m-1)df, step df
-    x0 = f0c - (m - 1) * df
-    y_src = jnp.where(in_low, power_half[:, :KL], 0.0)
-    j = jnp.arange(KL)[None, :]
-    y_asc = take_rows(y_src, jnp.clip(m - 1 - j, 0, KL - 1))
-    # linear interp with end extrapolation (scipy fill_value='extrapolate')
-    pos = (freqs - x0) / df
-    base = jnp.clip(jnp.floor(pos), 0, m - 2)
-    frac = pos - base
-    b = base.astype(jnp.int32)
-    y0 = take_rows(y_asc, b)
-    y1 = take_rows(y_asc, jnp.minimum(b + 1, KL - 1))
-    replica = y0 + (y1 - y0) * frac
-    add = jnp.where(freqs < f0c, replica, 0.0)
-    add_full = jnp.pad(add, ((0, 0), (0, kmax - KL)))
-    return power_half + add_full, ps_spectrum
+    from ..dsp.dcfill import dc_fill_add
+
+    # bins with frequency < f0 + df get a mirrored replica added (gather-free)
+    power_filled = dc_fill_add(power_half, f0, fs, fft_size,
+                               boundary_factor=1.0, KL=128, dtype=dtype)
+    return power_filled, ps_spectrum
 
 
 def _linear_smoothing(power_full, f0, fs, fft_size: int, dtype):

@@ -73,8 +73,6 @@ def _synthesis_core(f0, vuv, temporal_positions, spectrogram, aperiodicity,
                     key, fs, y_length, fft_size, max_pulses, max_noise,
                     noise_mode, variant="standard", k_overlap=48,
                     frame_period_s=None):
-    from ..dsp.ola import gather_ola
-
     dtype = spectrogram.dtype
     default_f0 = 500.0
     time_axis = jnp.arange(y_length, dtype=dtype) / fs + temporal_positions[0]
@@ -162,10 +160,13 @@ def _synthesis_core(f0, vuv, temporal_positions, spectrogram, aperiodicity,
                            * jnp.fft.rfft(ap_response, conv_n, axis=-1),
                            conv_n, axis=-1)[:, :fft_size]
 
+    del k_overlap
     contributions = jnp.where(valid[:, None], periodic + ap_out, 0.0)
     starts = jnp.where(valid, pli - fft_size // 2,
                        y_length + fft_size + 2).astype(jnp.int32)
-    return gather_ola(contributions, starts, y_length, k_overlap)
+    from ..dsp.ola import slotted_ola
+
+    return slotted_ola(contributions, starts, y_length, slot=32)
 
 
 def synthesis(source_object, filter_object, key=None, noise_mode="gaussian",

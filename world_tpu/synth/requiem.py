@@ -89,12 +89,14 @@ def _excitation_core(temporal_positions, f0, vuv, band_ap_db, pulse_seed,
     noise_size = jnp.sqrt(jnp.maximum(1.0, (next_pli - pli).astype(dtype)))
     weights = (1.0 - ap_at_pulse.T) * jnp.where(voiced, noise_size, 0.0)[:, None]
     responses = weights @ pulse_seed.T                     # (P, fft)
-    # overlap-add via gathers (dsp.ola): padded pulses park past the tail
+    # overlap-add: slotted matmul OLA (dsp.ola); padded pulses park past the
+    # tail.  k_overlap retained in the signature for compatibility.
+    del k_overlap
     starts = jnp.where(valid, pli - fft_size // 2,
                        y_length + fft_size + 2).astype(jnp.int32)
-    from ..dsp.ola import gather_ola
+    from ..dsp.ola import slotted_ola
 
-    periodic = gather_ola(responses, starts, y_length, k_overlap)
+    periodic = slotted_ola(responses, starts, y_length, slot=32)
     return periodic + aperiodic
 
 
@@ -118,10 +120,9 @@ def _waveform_core(excitation, spectrogram, temporal_positions, fs, fft_size,
     spec = spectrogram.T[1:n_frames - 2]  # frame i uses column i-1
     mp = minimum_phase_spectrum(mirror_full(spec))
     resp = jnp.fft.ifft(mp * jnp.fft.fft(tmp, fft_size, axis=-1), axis=-1).real
-    from ..dsp.ola import gather_ola
+    from ..dsp.ola import uniform_ola
 
-    K = fft_size // fps + 3
-    return gather_ola(resp, (origins - 1).astype(jnp.int32), y_len, K)
+    return uniform_ola(resp, fps - half - 1, fps, y_len)
 
 
 def synthesis_requiem(source_object, filter_object, seeds_signals,
