@@ -116,6 +116,20 @@ def shift_select_rows(slab, shift, max_shift: int, width: int, radix: int = 16):
     return res
 
 
+def select_rows_small(y, idx):
+    """take_along_axis(y, idx, axis=-1) via an equality-masked sum.
+
+    y: (..., N); idx: (..., Q) int32.  Gather-free: costs N*Q fused
+    compare-select-adds per row, which beats TPU's serialized gathers
+    whenever N is small (<= a few thousand).  Exact (no arithmetic on y).
+    """
+    y = jnp.asarray(y)
+    n = y.shape[-1]
+    k = jnp.arange(n, dtype=jnp.int32)
+    onehot = idx[..., :, None] == k  # (..., Q, N), fused into the reduce
+    return jnp.sum(jnp.where(onehot, y[..., None, :], 0), axis=-1)
+
+
 def take_rows(y, idx):
     """take_along_axis(y, idx, axis=-1) via a flat 1-D gather (TPU-fast).
 

@@ -129,7 +129,7 @@ def detect_candidates(raw, max_candidates: int, threshold: int = 10):
     start = (pos & ~prev).astype(jnp.int32)
     end = (pos & ~nxt).astype(jnp.int32)
 
-    from ..dsp.scanops import count_less_rows, take_rows
+    from ..dsp.scanops import count_less_rows, select_rows_small
 
     cs_start = jnp.cumsum(start, axis=0).T       # (frames, bands)
     cs_end = jnp.cumsum(end, axis=0).T
@@ -145,7 +145,8 @@ def detect_candidates(raw, max_candidates: int, threshold: int = 10):
     raw_cs = jnp.cumsum(raw, axis=0).T            # (frames, bands)
     zero = jnp.zeros((n_frames, 1), raw.dtype)
     raw_cs0 = jnp.concatenate([zero, raw_cs], axis=1)
-    sums = (take_rows(raw_cs0, end_pos + 1) - take_rows(raw_cs0, start_pos))
+    sums = (select_rows_small(raw_cs0, end_pos + 1)
+            - select_rows_small(raw_cs0, start_pos))
     lens = end_pos - start_pos + 1
     qualify = run_valid & (lens >= threshold)
     means = jnp.where(qualify, sums / jnp.maximum(lens, 1), 0.0)
@@ -156,7 +157,9 @@ def detect_candidates(raw, max_candidates: int, threshold: int = 10):
     slot_pos = count_less_rows(cq, qk, side="left")
     slot_valid = qk[None, :] <= cq[:, -1:]
     cands = jnp.where(slot_valid,
-                      take_rows(means, jnp.minimum(slot_pos, max_runs - 1)), 0.0)
+                      select_rows_small(means,
+                                        jnp.minimum(slot_pos, max_runs - 1)),
+                      0.0)
     n_detected = jnp.max(cq[:, -1])
     return cands.T, n_detected
 
@@ -200,7 +203,6 @@ def _refine_block(seg, t_c, cands, actual_fs, f0_floor, f0_ceil, max_half: int):
     W = seg.shape[1]
     f0 = jnp.maximum(cands, 1e-12)                       # (C, B)
     half = jnp.ceil(3 * actual_fs / f0 / 2)
-    wlt = (2 * half + 1) / actual_fs
     fft_size = 2.0 ** jnp.ceil(jnp.log2(half * 2 + 1) + 1)
 
     base_index = jnp.arange(-max_half, max_half + 1, dtype=dtype)
@@ -209,31 +211,31 @@ def _refine_block(seg, t_c, cands, actual_fs, f0_floor, f0_ceil, max_half: int):
     index_raw = (t_c[:, None] + base_time[None, :]) * actual_fs + 0.001 + 0.5
     phase = ((index_raw - 1) / actual_fs - t_c[:, None])          # (B, W)
 
-    mask = jnp.abs(base_index)[None, None, :] <= half[..., None]  # (C, B, W)
-    common = jnp.pi * phase[None] / wlt[..., None]
-    main_window = 0.42 + 0.5 * jnp.cos(2 * common) + 0.08 * jnp.cos(4 * common)
-    main_window = jnp.where(mask, main_window, 0.0)
-    zpad = jnp.zeros(main_window.shape[:-1] + (1,), dtype)
-    w_pad = jnp.concatenate([zpad, main_window, zpad], axis=-1)
-    diff_window = -(w_pad[..., 2:] - w_pad[..., :-2]) / 2
-    diff_window = jnp.where(mask, diff_window, 0.0)
-
-    seg_main = seg[None] * main_window                    # (C, B, W)
-    seg_diff = seg[None] * diff_window
-
     harmonics = jnp.arange(1.0, 7.0, dtype=dtype)
     n_harm = jnp.minimum(jnp.floor(actual_fs / 2 / f0), 6.0)
     hmask = harmonics[None, None, :] <= n_harm[..., None]  # (C, B, 6)
     bins = jnp.trunc(f0[..., None] * fft_size[..., None] / actual_fs
                      * harmonics[None, None, :] + 0.5)     # (C, B, 6)
-    n_idx = jnp.arange(W, dtype=dtype)
-    theta = ((-2.0 * jnp.pi) * bins / fft_size[..., None])[..., None] \
-        * n_idx[None, None, None, :]                       # (C, B, 6, W)
-    ct, st = jnp.cos(theta), jnp.sin(theta)
-    re_s = jnp.sum(ct * seg_main[:, :, None, :], axis=-1)
-    im_s = jnp.sum(st * seg_main[:, :, None, :], axis=-1)
-    re_d = jnp.sum(ct * seg_diff[:, :, None, :], axis=-1)
-    im_d = jnp.sum(st * seg_diff[:, :, None, :], axis=-1)
+
+    # Every per-candidate fft_size is a power of two <= S (the f0_floor
+    # size), so bin `bins` of a size-fft_size DFT is bin K = bins*(S/fft_size)
+    # of ONE size-S DFT: the <=6 per-(cand,frame) harmonic bins of the
+    # data-dependent-size DFTs become a (2CB, W) x (W, S+2) MXU matmul
+    # against a static cos/sin basis plus an equality-masked bin select —
+    # no gathers, no (C,B,6,W) phase tensor.  The basis angles (-2pi*K/S)*n
+    # are bitwise identical to the reference arithmetic
+    # (-2pi*bins/fft_size)*n because K/S == bins/fft_size exactly.  On TPU
+    # the three stages (window build, DFT, select) run as one fused Pallas
+    # kernel per VMEM tile (ops.refine_dft).
+    S = int(2 ** np.ceil(np.log2(2 * max_half + 1) + 1))
+    nb = S // 2 + 1
+    K = jnp.clip(bins * (S / fft_size[..., None]), 0, S // 2).astype(jnp.int32)
+
+    from ..ops.refine_dft import refine_dft_select
+
+    picked = refine_dft_select(seg, phase, f0, K, actual_fs, max_half, nb)
+    re_s, im_s = picked[:, :, 0], picked[:, :, 1]
+    re_d, im_d = picked[:, :, 2], picked[:, :, 3]
     numerator = re_s * im_d - im_s * re_d
     power = re_s ** 2 + im_s ** 2
     inst_freq = (bins / fft_size[..., None]
