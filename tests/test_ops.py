@@ -30,3 +30,73 @@ def test_refine_dft_pallas_matches_xla():
                                  max_half, nb)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_edge_interp_pallas_matches_xla():
+    from fractions import Fraction
+
+    from world_tpu.f0.events import batched_interval_interp
+    from world_tpu.ops.edge_interp import _interval_interp_pallas
+
+    rng = np.random.RandomState(1)
+    fs = 7350.0
+    n = 3000
+    Q = 400
+    stride = fs * 0.001
+    t = np.arange(n) / fs
+    rows = []
+    for f in (80.0, 125.0, 333.0, 707.0):
+        rows.extend([np.sin(2 * np.pi * f * t + rng.rand() * 6)
+                     + 0.05 * rng.randn(n) for _ in range(3)])
+    rows.append(np.zeros(n))                  # edgeless row (all +-inf chains)
+    rows.append(rng.randn(n) * 1e-6)          # near-noise row
+    x = jnp.asarray(np.stack(rows))
+    tq = jnp.asarray(np.arange(Q) / 1000.0)
+
+    frac = Fraction(float(stride)).limit_denominator(1000)
+    got_f0, got_m = _interval_interp_pallas(x, tq, fs, frac.numerator,
+                                            frac.denominator, Q,
+                                            interpret=True)
+    want_f0, want_m = batched_interval_interp(x, fs, tq, stride)
+    np.testing.assert_array_equal(np.asarray(got_m), np.asarray(want_m))
+    gf, wf = np.asarray(got_f0), np.asarray(want_f0)
+    both_nan = np.isnan(gf) & np.isnan(wf)
+    np.testing.assert_allclose(np.where(both_nan, 0.0, gf),
+                               np.where(both_nan, 0.0, wf),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_edge_interp_pallas_f32_split_dot_exact():
+    """The f32 path samples through 3 bf16 MXU passes (ops.dot_exact_b).
+    The decomposition reconstructs picked values exactly, so kernel-vs-twin
+    disagreement is bounded by ordinary f32 evaluation-order noise in the
+    surrounding chain/interp arithmetic (measured: kernel and twin are each
+    ~5e-5 relative from the f64 ground truth, and 1.4e-5 from each other)."""
+    from fractions import Fraction
+
+    from world_tpu.f0.events import batched_interval_interp
+    from world_tpu.ops.edge_interp import _interval_interp_pallas
+
+    rng = np.random.RandomState(7)
+    fs = 7350.0
+    n = 2000
+    Q = 250
+    stride = fs * 0.001
+    t = np.arange(n) / fs
+    rows = [np.sin(2 * np.pi * f * t + rng.rand() * 6)
+            + 0.05 * rng.randn(n)
+            for f in (90.0, 180.0, 440.0)] + [np.zeros(n)]
+    x = jnp.asarray(np.stack(rows), dtype=jnp.float32)
+    tq = jnp.asarray(np.arange(Q) / 1000.0, dtype=jnp.float32)
+
+    frac = Fraction(float(stride)).limit_denominator(1000)
+    got_f0, got_m = _interval_interp_pallas(x, tq, fs, frac.numerator,
+                                            frac.denominator, Q,
+                                            interpret=True)
+    want_f0, want_m = batched_interval_interp(x, fs, tq, stride)
+    np.testing.assert_array_equal(np.asarray(got_m), np.asarray(want_m))
+    gf, wf = np.asarray(got_f0), np.asarray(want_f0)
+    both_nan = np.isnan(gf) & np.isnan(wf)
+    np.testing.assert_allclose(np.where(both_nan, 0.0, gf),
+                               np.where(both_nan, 0.0, wf),
+                               rtol=5e-5, atol=1e-6)

@@ -10,17 +10,8 @@ import jax.numpy as jnp
 
 
 def timed(fn, *args, repeats=5, label=""):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    med = times[len(times) // 2]
-    print(f"{label:28s} {med*1000:9.2f} ms")
+    from tools.axon_timing import device_time
+    per_call, out = device_time(fn, *args, k=8, label=label, verbose=True)
     return out
 
 

@@ -127,8 +127,21 @@ def batched_interval_interp(signals, fs, t_frames, stride_samples: float,
             + [_strided_sample(e, stride_samples, n_frames, 1)
                for e in Nn])                   # N1..N5
     E = jnp.stack(samp, axis=-1)               # (S, Q, n_prev+n_next)
-    valid = jnp.isfinite(E)
+    out = interval_select(E, t_frames, fs, n_prev)
 
+    n_edges = jnp.sum(mask, axis=-1)
+    m = jnp.maximum(n_edges - 1, 0)
+    return out, m
+
+
+def interval_select(E, t_frames, fs, n_prev: int = 4):
+    """Pick the crossing interval containing each query and linearly
+    interpolate/extrapolate its f0 — shared tail of both the XLA path above
+    and the fused Pallas event engine (ops.edge_interp).
+
+    ``E`` is (S, Q, n_prev+n_next) ascending candidate edge positions in
+    1-based sample units, +-inf where no such edge exists."""
+    valid = jnp.isfinite(E)
     tq = t_frames[None, :]
     T = (tq * fs)[..., None]                   # query in 1-based fine units
 
@@ -154,11 +167,7 @@ def batched_interval_interp(signals, fs, t_frames, stride_samples: float,
     y0 = sel(f0s, j)
     y1 = sel(f0s, j + 1)
     dx = x1 - x0
-    out = y0 + (y1 - y0) / jnp.where(dx == 0, 1.0, dx) * (tq - x0)
-
-    n_edges = jnp.sum(mask, axis=-1)
-    m = jnp.maximum(n_edges - 1, 0)
-    return out, m
+    return y0 + (y1 - y0) / jnp.where(dx == 0, 1.0, dx) * (tq - x0)
 
 
 def four_event_interp(filtered, fs, t_frames, stride_samples: float):
@@ -168,15 +177,21 @@ def four_event_interp(filtered, fs, t_frames, stride_samples: float):
     deviation (B, Q), usable (B,)) matching get_f0_candidates /
     GetF0Candidates (dio.py:156-185, harvest.py:499-529).
     """
+    from ..ops.edge_interp import interval_interp
+
     B, n = filtered.shape
     d = jnp.diff(filtered, axis=1)
-    interp_fd, m_fd = batched_interval_interp(
-        jnp.concatenate([filtered, -filtered], axis=0), fs, t_frames,
-        stride_samples)
-    interp_d, m_d = batched_interval_interp(
-        jnp.concatenate([d, -d], axis=0), fs, t_frames, stride_samples)
-    interps = jnp.stack([interp_fd[:B], interp_fd[B:], interp_d[:B], interp_d[B:]])
-    counts = jnp.stack([m_fd[:B], m_fd[B:], m_d[:B], m_d[B:]])
+    # pad the diff rows to length n by repeating the last value: the repeat
+    # can never be a crossing (x_next == x there), every chain value and
+    # every sampled index is unchanged, and all four event types become ONE
+    # batched call (one fused kernel launch on TPU)
+    d_pad = jnp.concatenate([d, d[:, -1:]], axis=1)
+    interp, m = interval_interp(
+        jnp.concatenate([filtered, -filtered, d_pad, -d_pad], axis=0),
+        fs, t_frames, stride_samples)
+    interps = jnp.stack([interp[:B], interp[B : 2 * B], interp[2 * B : 3 * B],
+                         interp[3 * B :]])
+    counts = jnp.stack([m[:B], m[B : 2 * B], m[2 * B : 3 * B], m[3 * B :]])
     usable = jnp.all(counts >= 3, axis=0)
     mean_f0 = jnp.mean(interps, axis=0)
     dev = jnp.std(interps, axis=0, ddof=1)

@@ -9,3 +9,54 @@ import jax
 def on_tpu() -> bool:
     """True when the default backend compiles Pallas/Mosaic kernels."""
     return jax.default_backend() in ("tpu", "axon")
+
+
+def _split3_f32(a):
+    """Exact 3-term bf16 decomposition of an f32 array: a == hi + mid + lo.
+
+    Each residual holds <=8 leftover mantissa bits, so every cast is exact
+    and the three bf16 terms reconstruct the f32 value bit-for-bit."""
+    import jax.numpy as jnp
+
+    hi = a.astype(jnp.bfloat16)
+    r1 = a - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def dot_exact_b(a, b):
+    """a @ b where ``b`` is exactly bf16-representable (e.g. a 0/1 one-hot
+    matrix): three single-pass bf16 MXU dots that together reproduce the
+    full-f32 product exactly, at half the cost of Mosaic's 6-pass f32 dot.
+    Falls back to a plain dot for non-f32 dtypes (CPU/interpret paths)."""
+    import jax
+    import jax.numpy as jnp
+
+    if a.dtype != jnp.float32:
+        return jax.lax.dot(a, b, preferred_element_type=a.dtype)
+    bb = b.astype(jnp.bfloat16)
+    out = None
+    for part in _split3_f32(a):
+        d = jax.lax.dot(part, bb, preferred_element_type=jnp.float32)
+        out = d if out is None else out + d
+    return out
+
+
+def dot_3pass(a, b):
+    """~2^-16-relative-accuracy a @ b via the classic 3-pass bf16 scheme
+    (hi*hi + hi*lo + lo*hi): half the MXU passes of Mosaic's exact f32 dot.
+    Falls back to a plain dot for non-f32 dtypes (CPU/interpret paths)."""
+    import jax
+    import jax.numpy as jnp
+
+    if a.dtype != jnp.float32:
+        return jax.lax.dot(a, b, preferred_element_type=a.dtype)
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    f32 = jnp.float32
+    return (jax.lax.dot(a_hi, b_hi, preferred_element_type=f32)
+            + jax.lax.dot(a_hi, b_lo, preferred_element_type=f32)
+            + jax.lax.dot(a_lo, b_hi, preferred_element_type=f32))

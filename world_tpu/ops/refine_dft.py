@@ -66,6 +66,8 @@ def _kernel(seg_ref, phase_ref, f0_ref, k_ref, basis_ref, out_ref, *,
     mw, dw = _windows(phase_ref[:], f0_ref[0, :, 0], actual_fs, max_half,
                       base_abs)
     basis = basis_ref[:]
+    # NB: Mosaic's native f32 dot beats a manual 3-pass bf16 split here
+    # (measured 19.8 vs 27.9 ms for the full stage)
     spec_m = jnp.dot(seg * mw, basis, preferred_element_type=dtype)
     spec_d = jnp.dot(seg * dw, basis, preferred_element_type=dtype)
     K = k_ref[0]                                       # (BLK, 6)
