@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 def test_refine_dft_pallas_matches_xla():
     from world_tpu.ops.refine_dft import (_refine_pallas, dft_basis,
-                                          refine_dft_select_xla)
+                                          refine_full_xla)
 
     rng = np.random.RandomState(0)
     C, B, W = 5, 200, 45                      # B not a multiple of the block
@@ -22,13 +22,18 @@ def test_refine_dft_pallas_matches_xla():
     f0 = jnp.asarray(rng.rand(C, B) * 700 + 80)
     # a few "invalid candidate" rows exercising the huge-half masked path
     f0 = f0.at[0, :7].set(1e-12)
-    K = jnp.asarray(rng.randint(0, nb, (C, B, 6)).astype(np.int32))
     basis = dft_basis(W, nb, seg.dtype)
-    got = _refine_pallas(seg, phase, f0, K, basis, actual_fs, max_half, nb,
-                         interpret=True)
-    want = refine_dft_select_xla(seg, phase, f0, K, basis, actual_fs,
-                                 max_half, nb)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+    got_f0, got_sc = _refine_pallas(seg, phase, f0, basis, actual_fs,
+                                    max_half, nb, 71.0, 800.0, interpret=True)
+    want_f0, want_sc = refine_full_xla(seg, phase, f0, basis, actual_fs,
+                                       max_half, nb, 71.0, 800.0)
+    # the kernel's double-angle cos(4x) and accumulated harmonic sums round
+    # differently at the last ulp; the score's reciprocal near the ok=2.5
+    # threshold could in principle flip a borderline candidate, which random
+    # data here does not produce
+    np.testing.assert_allclose(np.asarray(got_f0), np.asarray(want_f0),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got_sc), np.asarray(want_sc),
                                rtol=1e-9, atol=1e-12)
 
 

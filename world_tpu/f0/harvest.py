@@ -200,10 +200,7 @@ def _refine_block(seg, t_c, cands, actual_fs, f0_floor, f0_ceil, max_half: int):
     formula; only the <=6 harmonic bins are ever computed (as fused
     multiply-reduce dots on the VPU)."""
     dtype = seg.dtype
-    W = seg.shape[1]
     f0 = jnp.maximum(cands, 1e-12)                       # (C, B)
-    half = jnp.ceil(3 * actual_fs / f0 / 2)
-    fft_size = 2.0 ** jnp.ceil(jnp.log2(half * 2 + 1) + 1)
 
     base_index = jnp.arange(-max_half, max_half + 1, dtype=dtype)
     base_time = base_index / actual_fs
@@ -211,48 +208,23 @@ def _refine_block(seg, t_c, cands, actual_fs, f0_floor, f0_ceil, max_half: int):
     index_raw = (t_c[:, None] + base_time[None, :]) * actual_fs + 0.001 + 0.5
     phase = ((index_raw - 1) / actual_fs - t_c[:, None])          # (B, W)
 
-    harmonics = jnp.arange(1.0, 7.0, dtype=dtype)
-    n_harm = jnp.minimum(jnp.floor(actual_fs / 2 / f0), 6.0)
-    hmask = harmonics[None, None, :] <= n_harm[..., None]  # (C, B, 6)
-    bins = jnp.trunc(f0[..., None] * fft_size[..., None] / actual_fs
-                     * harmonics[None, None, :] + 0.5)     # (C, B, 6)
-
     # Every per-candidate fft_size is a power of two <= S (the f0_floor
     # size), so bin `bins` of a size-fft_size DFT is bin K = bins*(S/fft_size)
     # of ONE size-S DFT: the <=6 per-(cand,frame) harmonic bins of the
     # data-dependent-size DFTs become a (2CB, W) x (W, S+2) MXU matmul
-    # against a static cos/sin basis plus an equality-masked bin select —
+    # against a static cos/sin basis plus equality-masked bin selects —
     # no gathers, no (C,B,6,W) phase tensor.  The basis angles (-2pi*K/S)*n
     # are bitwise identical to the reference arithmetic
     # (-2pi*bins/fft_size)*n because K/S == bins/fft_size exactly.  On TPU
-    # the three stages (window build, DFT, select) run as one fused Pallas
-    # kernel per VMEM tile (ops.refine_dft).
+    # ALL stages (windows, DFT, selects, instantaneous-frequency math) run
+    # as one fused Pallas kernel per VMEM tile (ops.refine_dft).
     S = int(2 ** np.ceil(np.log2(2 * max_half + 1) + 1))
     nb = S // 2 + 1
-    K = jnp.clip(bins * (S / fft_size[..., None]), 0, S // 2).astype(jnp.int32)
 
-    from ..ops.refine_dft import refine_dft_select
+    from ..ops.refine_dft import refine_full
 
-    picked = refine_dft_select(seg, phase, f0, K, actual_fs, max_half, nb)
-    re_s, im_s = picked[:, :, 0], picked[:, :, 1]
-    re_d, im_d = picked[:, :, 2], picked[:, :, 3]
-    numerator = re_s * im_d - im_s * re_d
-    power = re_s ** 2 + im_s ** 2
-    inst_freq = (bins / fft_size[..., None]
-                 + numerator / jnp.maximum(power, jnp.finfo(dtype).tiny)
-                 / 2 / jnp.pi) * actual_fs
-    amp = jnp.sqrt(power) * hmask
-    refined = (jnp.sum(amp * inst_freq, axis=-1)
-               / jnp.maximum(jnp.sum(amp * harmonics[None, None, :], axis=-1),
-                             jnp.finfo(dtype).tiny))
-    variation = jnp.abs((inst_freq / harmonics[None, None, :] - f0[..., None])
-                        / f0[..., None])
-    score = 1.0 / (0.000000000001
-                   + jnp.sum(jnp.where(hmask, variation, 0.0), axis=-1)
-                   / jnp.maximum(n_harm, 1.0))
-    ok = ((refined >= f0_floor) & (refined <= f0_ceil) & (score >= 2.5)
-          & (cands != 0))
-    return jnp.where(ok, refined, 0.0), jnp.where(ok, score, 0.0)
+    return refine_full(seg, phase, f0, actual_fs, max_half, nb,
+                       f0_floor, f0_ceil)
 
 
 def refine_candidates(y, actual_fs, temporal_positions, cands, f0_floor, f0_ceil,

@@ -1,4 +1,4 @@
-"""Fused Harvest-refinement kernel: window-build -> DFT matmul -> bin select.
+"""Fused Harvest-refinement kernel: windows -> DFT -> bins -> refined f0.
 
 GetRefinedF0 (/root/reference/world/harvest.py:169-211) reads <=6 harmonic
 bins of two per-(candidate, frame) FFTs whose size depends on the candidate
@@ -7,11 +7,13 @@ f0_floor size), bin ``b`` of a size-``s`` DFT equals bin ``K = b*(S/s)`` of
 ONE size-S DFT — so the whole refinement fan-out is a (rows, W) x (W, S+2)
 matmul against a static cos/sin basis plus a 6-bin select per row.
 
-The Pallas kernel fuses the three stages per (frame-block, candidate) tile
-entirely in VMEM: the Blackman main/derivative windows, the MXU DFT, and the
-equality-masked bin select.  Nothing bigger than (C, B, 24) ever touches
-HBM — the XLA twin below (used on CPU backends and as the test oracle)
-materializes ~4 GB of windowed segments and spectra for the same math.
+The Pallas kernel fuses ALL stages per (frame-block, candidate) tile
+entirely in VMEM: the Blackman main/derivative windows (cos(4x) via the
+double-angle identity — transcendentals are the single largest cost), the
+MXU DFT, per-harmonic one-hot bin selects in a layout-friendly (BLK, nb)
+shape, and the instantaneous-frequency -> refined-f0/score math, so only
+(C, B, 2) results ever touch HBM.  The XLA twin below (CPU backends / test
+oracle) materializes the same math stage by stage.
 """
 from functools import partial
 
@@ -40,7 +42,7 @@ def dft_basis(W: int, nb: int, dtype):
     return jnp.concatenate([jnp.cos(theta), jnp.sin(theta)], axis=1)
 
 
-def _windows(phase, f0, actual_fs, max_half, base_abs):
+def _windows(phase, f0, actual_fs, max_half, base_abs, fast_cos=False):
     """Blackman main window + centered-difference derivative window
     (harvest.py:175-193), for one (rows, W) block."""
     dtype = phase.dtype
@@ -48,7 +50,9 @@ def _windows(phase, f0, actual_fs, max_half, base_abs):
     wlt = (2 * half + 1) / actual_fs
     mask = base_abs <= half
     common = jnp.pi * phase / wlt
-    mw = 0.42 + 0.5 * jnp.cos(2 * common) + 0.08 * jnp.cos(4 * common)
+    c2 = jnp.cos(2 * common)
+    c4 = 2.0 * c2 * c2 - 1.0 if fast_cos else jnp.cos(4 * common)
+    mw = 0.42 + 0.5 * c2 + 0.08 * c4
     mw = jnp.where(mask, mw, jnp.zeros((), dtype))
     right = jnp.pad(mw[..., 1:], [(0, 0)] * (mw.ndim - 1) + [(0, 1)])
     left = jnp.pad(mw[..., :-1], [(0, 0)] * (mw.ndim - 1) + [(1, 0)])
@@ -56,32 +60,102 @@ def _windows(phase, f0, actual_fs, max_half, base_abs):
     return mw, dw
 
 
-def _kernel(seg_ref, phase_ref, f0_ref, k_ref, basis_ref, out_ref, *,
-            actual_fs, max_half, nb):
+def _refine_math(picked, bins, fft_size, f0, hmask, n_harm, harmonics,
+                 actual_fs, f0_floor, f0_ceil):
+    """picked (…, 4, 6) harmonic-bin spectra -> (refined f0, score), the
+    tail of GetRefinedF0 (harvest.py:194-211)."""
+    dtype = picked.dtype
+    re_s, im_s = picked[..., 0, :], picked[..., 1, :]
+    re_d, im_d = picked[..., 2, :], picked[..., 3, :]
+    numerator = re_s * im_d - im_s * re_d
+    power = re_s ** 2 + im_s ** 2
+    inst_freq = (bins / fft_size[..., None]
+                 + numerator / jnp.maximum(power, jnp.finfo(dtype).tiny)
+                 / 2 / jnp.pi) * actual_fs
+    amp = jnp.sqrt(power) * hmask
+    refined = (jnp.sum(amp * inst_freq, axis=-1)
+               / jnp.maximum(jnp.sum(amp * harmonics, axis=-1),
+                             jnp.finfo(dtype).tiny))
+    variation = jnp.abs((inst_freq / harmonics - f0[..., None])
+                        / f0[..., None])
+    score = 1.0 / (0.000000000001
+                   + jnp.sum(jnp.where(hmask, variation, 0.0), axis=-1)
+                   / jnp.maximum(n_harm, 1.0))
+    ok = ((refined >= f0_floor) & (refined <= f0_ceil) & (score >= 2.5)
+          & (f0 > 1e-6))
+    return jnp.where(ok, refined, 0.0), jnp.where(ok, score, 0.0)
+
+
+def _harmonic_meta(f0, actual_fs, nb, dtype):
+    """(fft_size, n_harm, hmask (.., 6), bins (.., 6)) per candidate-frame:
+    harvest.py:174-199's data-dependent sizes as scalars."""
+    half = jnp.ceil(3 * actual_fs / f0 / 2)
+    fft_size = 2.0 ** jnp.ceil(jnp.log2(half * 2 + 1) + 1)
+    # int iota then cast: Mosaic has no float iota
+    harmonics = jnp.arange(1, 7, dtype=jnp.int32).astype(dtype)
+    shape = (1,) * f0.ndim + (6,)
+    harmonics = harmonics.reshape(shape)
+    n_harm = jnp.minimum(jnp.floor(actual_fs / 2 / f0), 6.0)
+    hmask = harmonics <= n_harm[..., None]
+    bins = jnp.trunc(f0[..., None] * fft_size[..., None] / actual_fs
+                     * harmonics + 0.5)
+    return fft_size, n_harm, hmask, bins, harmonics
+
+
+def _kernel(seg_ref, phase_ref, f0_ref, basis_ref, out_ref, *,
+            actual_fs, max_half, nb, f0_floor, f0_ceil):
     dtype = seg_ref.dtype
     seg = seg_ref[:]                                   # (BLK, W)
     W = seg.shape[1]
+    S = 2 * (nb - 1)
     base = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) - max_half
     base_abs = jnp.abs(base).astype(dtype)
-    mw, dw = _windows(phase_ref[:], f0_ref[0, :, 0], actual_fs, max_half,
-                      base_abs)
+    f0 = f0_ref[0, :, 0]                               # (BLK,)
+    mw, dw = _windows(phase_ref[:], f0, actual_fs, max_half, base_abs,
+                      fast_cos=True)
     basis = basis_ref[:]
-    # NB: Mosaic's native f32 dot beats a manual 3-pass bf16 split here
-    # (measured 19.8 vs 27.9 ms for the full stage)
     spec_m = jnp.dot(seg * mw, basis, preferred_element_type=dtype)
     spec_d = jnp.dot(seg * dw, basis, preferred_element_type=dtype)
-    K = k_ref[0]                                       # (BLK, 6)
-    kk = jax.lax.broadcasted_iota(jnp.int32, K.shape + (nb,), 2)
-    oh = (K[:, :, None] == kk).astype(dtype)           # (BLK, 6, nb)
-    parts = [jnp.sum(oh * sl[:, None, :], axis=-1)
-             for spec in (spec_m, spec_d)
-             for sl in (spec[:, :nb], spec[:, nb:])]
-    out_ref[0] = jnp.concatenate(parts, axis=-1)       # (BLK, 24)
+
+    fft_size, n_harm, hmask, bins, _ = _harmonic_meta(f0, actual_fs, nb,
+                                                      dtype)
+    K = jnp.clip(bins * (S / fft_size[..., None]), 0, S // 2)
+    K = K.astype(jnp.int32)                            # (BLK, 6)
+
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (_BLK, nb), 1)
+    tiny = jnp.finfo(dtype).tiny
+    num_acc = jnp.zeros((_BLK,), dtype)
+    den_acc = jnp.zeros((_BLK,), dtype)
+    var_acc = jnp.zeros((_BLK,), dtype)
+    for h in range(6):
+        oh = (kcol == K[:, h][:, None]).astype(dtype)  # (BLK, nb)
+        re_s = jnp.sum(oh * spec_m[:, :nb], axis=1)
+        im_s = jnp.sum(oh * spec_m[:, nb:], axis=1)
+        re_d = jnp.sum(oh * spec_d[:, :nb], axis=1)
+        im_d = jnp.sum(oh * spec_d[:, nb:], axis=1)
+        numerator = re_s * im_d - im_s * re_d
+        power = re_s * re_s + im_s * im_s
+        inst = (bins[:, h] / fft_size
+                + numerator / jnp.maximum(power, tiny) / 2 / jnp.pi
+                ) * actual_fs
+        hm = hmask[:, h]
+        amp = jnp.sqrt(power) * hm
+        num_acc = num_acc + amp * inst
+        den_acc = den_acc + amp * (h + 1.0)
+        var_acc = var_acc + jnp.where(hm, jnp.abs((inst / (h + 1.0) - f0)
+                                                  / f0), 0.0)
+    refined = num_acc / jnp.maximum(den_acc, tiny)
+    score = 1.0 / (0.000000000001 + var_acc / jnp.maximum(n_harm, 1.0))
+    ok = ((refined >= f0_floor) & (refined <= f0_ceil) & (score >= 2.5)
+          & (f0 > 1e-6))
+    out_ref[0] = jnp.stack([jnp.where(ok, refined, 0.0),
+                            jnp.where(ok, score, 0.0)], axis=1)
 
 
-@partial(jax.jit, static_argnames=("actual_fs", "max_half", "nb", "interpret"))
-def _refine_pallas(seg, phase, f0, K, basis, actual_fs, max_half, nb,
-                   interpret=False):
+@partial(jax.jit, static_argnames=("actual_fs", "max_half", "nb", "f0_floor",
+                                   "f0_ceil", "interpret"))
+def _refine_pallas(seg, phase, f0, basis, actual_fs, max_half, nb,
+                   f0_floor, f0_ceil, interpret=False):
     C, B = f0.shape
     W = seg.shape[1]
     pad = (-B) % _BLK
@@ -89,12 +163,12 @@ def _refine_pallas(seg, phase, f0, K, basis, actual_fs, max_half, nb,
         seg = jnp.pad(seg, ((0, pad), (0, 0)))
         phase = jnp.pad(phase, ((0, pad), (0, 0)))
         f0 = jnp.pad(f0, ((0, 0), (0, pad)), constant_values=1.0)
-        K = jnp.pad(K, ((0, 0), (0, pad), (0, 0)))
     Bp = B + pad
-    kernel = partial(_kernel, actual_fs=actual_fs, max_half=max_half, nb=nb)
+    kernel = partial(_kernel, actual_fs=actual_fs, max_half=max_half, nb=nb,
+                     f0_floor=f0_floor, f0_ceil=f0_ceil)
     # grid order (frame-block, candidate): the candidate axis iterates
-    # fastest, so the seg/phase/basis block DMAs are skipped for 47 of every
-    # 48 steps (their index maps do not depend on j)
+    # fastest, so the seg/phase/basis block DMAs are skipped for C-1 of every
+    # C steps (their index maps do not depend on j)
     out = pl.pallas_call(
         kernel,
         grid=(Bp // _BLK, C),
@@ -105,26 +179,26 @@ def _refine_pallas(seg, phase, f0, K, basis, actual_fs, max_half, nb,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _BLK, 1), lambda i, j: (j, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BLK, 6), lambda i, j: (j, i, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((W, 2 * nb), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _BLK, 24), lambda i, j: (j, i, 0),
+        out_specs=pl.BlockSpec((1, _BLK, 2), lambda i, j: (j, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, Bp, 24), seg.dtype),
+        out_shape=jax.ShapeDtypeStruct((C, Bp, 2), seg.dtype),
         interpret=interpret,
-    )(seg, phase, f0[..., None], K, basis)
-    return out[:, :B].reshape(C, B, 4, 6)
+    )(seg, phase, f0[..., None], basis)
+    return out[:, :B, 0], out[:, :B, 1]
 
 
-def refine_dft_select_xla(seg, phase, f0, K, basis, actual_fs, max_half, nb):
+def refine_full_xla(seg, phase, f0, basis, actual_fs, max_half, nb,
+                    f0_floor, f0_ceil):
     """Pure-XLA twin (CPU path / test oracle): same math, materialized."""
     from ..dsp.scanops import select_rows_small
 
     dtype = seg.dtype
     W = seg.shape[1]
     C, B = f0.shape
+    S = 2 * (nb - 1)
     base_index = jnp.arange(-max_half, max_half + 1, dtype=dtype)
     mw, dw = _windows(phase[None], f0, actual_fs, max_half,
                       jnp.abs(base_index)[None, None, :])
@@ -133,17 +207,23 @@ def refine_dft_select_xla(seg, phase, f0, K, basis, actual_fs, max_half, nb):
     spec = jnp.dot(X, basis, preferred_element_type=dtype)  # (2CB, 2nb)
     quads = jnp.stack([spec[: C * B, :nb], spec[: C * B, nb:],
                        spec[C * B :, :nb], spec[C * B :, nb:]], axis=1)
-    picked = select_rows_small(quads, K.reshape(C * B, 1, 6))
-    return picked.reshape(C, B, 4, 6)
+
+    fft_size, n_harm, hmask, bins, harmonics = _harmonic_meta(
+        f0, actual_fs, nb, dtype)
+    K = jnp.clip(bins * (S / fft_size[..., None]), 0, S // 2)
+    picked = select_rows_small(quads, K.astype(jnp.int32).reshape(C * B, 1, 6))
+    picked = picked.reshape(C, B, 4, 6)
+    return _refine_math(picked, bins, fft_size, f0, hmask, n_harm, harmonics,
+                        actual_fs, f0_floor, f0_ceil)
 
 
-def refine_dft_select(seg, phase, f0, K, actual_fs, max_half, nb):
-    """(re_s, im_s, re_d, im_d) at the 6 harmonic bins K for every
-    (candidate, frame): returns (C, B, 4, 6)."""
+def refine_full(seg, phase, f0, actual_fs, max_half, nb, f0_floor, f0_ceil):
+    """(refined_f0, score) (C, B) for every (candidate, frame) — the full
+    GetRefinedF0 grid (harvest.py:131-150) as one fused pass."""
     W = seg.shape[1]
     basis = dft_basis(W, nb, seg.dtype)
+    args = (float(actual_fs), int(max_half), int(nb), float(f0_floor),
+            float(f0_ceil))
     if on_tpu():
-        return _refine_pallas(seg, phase, f0, K, basis,
-                              float(actual_fs), int(max_half), int(nb))
-    return refine_dft_select_xla(seg, phase, f0, K, basis,
-                                 float(actual_fs), int(max_half), int(nb))
+        return _refine_pallas(seg, phase, f0, basis, *args)
+    return refine_full_xla(seg, phase, f0, basis, *args)
