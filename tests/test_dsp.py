@@ -181,3 +181,30 @@ def test_minimum_phase_matches_reference_construction():
     np.testing.assert_allclose(got_spec, ref_spec, atol=1e-10)
     got_resp = np.asarray(dsp.minimum_phase_response(full_j))
     np.testing.assert_allclose(got_resp, ref_resp, atol=1e-10)
+
+
+def test_fftmm_matches_jnp_fft():
+    """CT-matmul FFTs (forced on) match jnp.fft on CPU."""
+    import jax.numpy as jnp
+
+    from world_tpu.dsp import fftmm
+
+    rng = np.random.RandomState(3)
+    for n in (256, 1024, 2048, 4096):
+        x = jnp.asarray(rng.randn(7, n - 13).astype(np.float32))
+        got = fftmm.rfft(x, n, force_mm=True)
+        want = jnp.fft.rfft(x, n, axis=-1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+        X = want * (1 + 0.3j)
+        got_i = fftmm.irfft(X, n, force_mm=True)
+        want_i = jnp.fft.irfft(X, n, axis=-1)
+        np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                                   rtol=2e-4, atol=2e-4)
+        xc = x[..., : n // 2] * (0.5 - 1.25j)
+        np.testing.assert_allclose(np.asarray(fftmm.fft(xc, n, force_mm=True)),
+                                   np.asarray(jnp.fft.fft(xc, n, axis=-1)),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(fftmm.ifft(xc, n, force_mm=True)),
+                                   np.asarray(jnp.fft.ifft(xc, n, axis=-1)),
+                                   rtol=2e-4, atol=2e-4)

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..dsp import fftmm
 from ..dsp.minphase import mirror_full
 from ..dsp.scanops import matmul_cumsum, take_rows
 from ..dsp.windows import np_nuttall
@@ -86,7 +87,7 @@ def rect_smooth_half(signal_full, width, fs, fft_size: int, dtype):
     # query position for bin k: k + alpha with per-row alpha = (+-w/2 - x0)/df
     a_lo = (-width / 2 - x0) / df
     a_hi = (width / 2 - x0) / df
-    Y = jnp.fft.rfft(cs, axis=-1)
+    Y = fftmm.rfft(cs)
     j = jnp.arange(M // 2 + 1, dtype=dtype)[None, :]
     w_ang = 2 * jnp.pi * j / M
 
@@ -97,7 +98,7 @@ def rect_smooth_half(signal_full, width, fs, fft_size: int, dtype):
         return ((1 - frac) * jnp.exp(1j * w_ang * m)
                 + frac * jnp.exp(1j * w_ang * (m + 1)))
 
-    diff = jnp.fft.irfft(Y * (ramp(a_hi) - ramp(a_lo)), M, axis=-1)
+    diff = fftmm.irfft(Y * (ramp(a_hi) - ramp(a_lo)), M)
     return diff[:, : fft_size // 2 + 1] / width
 
 
@@ -124,7 +125,7 @@ def love_train_vuv(x, fs, f0, temporal_positions, threshold, max_half: int,
     waveform, _, _ = apply_adaptive_window(
         seg, float(fs), f0_c, t, 1.5, max_half, "blackman",
         sub_sample_shift=True)
-    spec = jnp.fft.rfft(waveform, fft_size_lt, axis=-1)
+    spec = fftmm.rfft(waveform, fft_size_lt)
     power = jnp.abs(spec) ** 2
     s1 = jnp.sum(power[:, b0:b1], axis=1)
     s2 = s1 + jnp.sum(power[:, b1:b2], axis=1)
@@ -153,8 +154,8 @@ def _centroid_from_slab(slab, margin, fs, f0, t_base, t_shifted, max_half: int,
     base_index = jnp.arange(-max_half, max_half + 1, dtype=dtype)[None, :]
     t_true = jnp.where(mask, base_index + half + 1, 0.0)
     xn = waveform / jnp.sqrt(jnp.sum(waveform ** 2, axis=1, keepdims=True))
-    S = jnp.fft.rfft(xn, fft_size, axis=-1)
-    U = jnp.fft.rfft(xn * t_true, fft_size, axis=-1)
+    S = fftmm.rfft(xn, fft_size)
+    U = fftmm.rfft(xn * t_true, fft_size)
     return S.real * U.real + S.imag * U.imag
 
 
@@ -176,7 +177,7 @@ def smoothed_power_spectrum_half(x, fs, f0, t_pos, max_half: int, fft_size: int,
     waveform, _, _ = apply_adaptive_window(
         seg, float(fs), f0, t_pos, 2.0, max_half, "hanning",
         sub_sample_shift=True)
-    power = jnp.abs(jnp.fft.rfft(waveform, fft_size, axis=-1)) ** 2
+    power = jnp.abs(fftmm.rfft(waveform, fft_size)) ** 2
     power = dc_correction_half(power, f0, float(fs), fft_size, dtype)
     return linear_smoothing_full_to_half(mirror_full(power), f0, float(fs),
                                          fft_size, dtype)
@@ -222,7 +223,7 @@ def coarse_aperiodicity(group_delay_half, fs: float, fft_size: int,
         center = int(np.floor(frequency_interval * (i + 1) / (fs / fft_size)))
         segs.append(gd_full[..., center - hw : center + hw + 1])
     seg = jnp.stack(segs, axis=-2) * jnp.asarray(window, dtype=dtype)
-    power = jnp.abs(jnp.fft.rfft(seg, fft_size, axis=-1)) ** 2
+    power = jnp.abs(fftmm.rfft(seg, fft_size)) ** 2
     # reference: cumsum(sort(power))[n - boundary - 2] / total — i.e. the sum
     # of all but the (boundary+1) largest values.  top_k replaces the full
     # sort (TPU sorts serialize badly; top_k with small k is fast).

@@ -1,0 +1,140 @@
+"""Batched FFTs as two-stage Cooley-Tukey matmuls (MXU path).
+
+XLA's stock 1-D FFT on TPU runs at ~1.2-1.5 ms for a (929, 2048-4096) rfft
+batch (measured, v5e) — far off the roofline.  The same transform as a
+radix-sqrt(n) Cooley-Tukey decomposition is two small dense matmuls plus a
+twiddle multiply: ~2*n*sqrt(n) MACs per row instead of the FFT's data
+movement, which the MXU executes in tens of microseconds at these batch
+sizes.
+
+    X[n1*k2 + k1] = sum_t2 W2[t2, k2] * (T[k1, t2] * sum_t1 x[n2*t1 + t2] * W1[t1, k1])
+
+with W1/W2 the n1-/n2-point DFT matrices and T the n-point twiddles.
+Complex arithmetic is explicit re/im pairs (the MXU has no complex type);
+bases are built in float64 and cast, so the f32 result matches jnp.fft to
+~1e-6 relative.
+
+``rfft``/``irfft`` dispatch to jnp.fft off-TPU (the f64 golden path is
+bit-identical to the reference there) and to the matmul form on TPU.
+"""
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import on_tpu
+
+
+@lru_cache(maxsize=None)
+def _plan(n: int):
+    """(n1, n2) with n = n1*n2, both near sqrt(n) (powers of two)."""
+    assert n & (n - 1) == 0 and n >= 4, n
+    p = n.bit_length() - 1
+    n1 = 1 << (p // 2)
+    return n1, n // n1
+
+
+@lru_cache(maxsize=None)
+def _bases(n: int):
+    n1, n2 = _plan(n)
+    t1 = np.arange(n1)
+    k1 = np.arange(n1)
+    w1 = np.exp(-2j * np.pi * np.outer(t1, k1) / n1)
+    t2 = np.arange(n2)
+    k2 = np.arange(n2)
+    w2 = np.exp(-2j * np.pi * np.outer(t2, k2) / n2)
+    tw = np.exp(-2j * np.pi * np.outer(k1, t2) / n)      # (n1, n2)
+    return w1, w2, tw
+
+
+def _ct_core(xr, xi, n, inverse=False):
+    """(..., n) complex (re, im; xi may be None) -> (re, im) n-point DFT."""
+    n1, n2 = _plan(n)
+    w1, w2, tw = _bases(n)
+    if inverse:
+        w1, w2, tw = np.conj(w1), np.conj(w2), np.conj(tw)
+    dtype = xr.dtype
+    w1r = jnp.asarray(w1.real, dtype)
+    w1i = jnp.asarray(w1.imag, dtype)
+    w2r = jnp.asarray(w2.real, dtype)
+    w2i = jnp.asarray(w2.imag, dtype)
+    twr = jnp.asarray(tw.real, dtype)
+    twi = jnp.asarray(tw.imag, dtype)
+
+    lead = xr.shape[:-1]
+    xr = xr.reshape(lead + (n1, n2))
+    ar = jnp.einsum("...ab,ak->...kb", xr, w1r)
+    ai = jnp.einsum("...ab,ak->...kb", xr, w1i)
+    if xi is not None:
+        xi = xi.reshape(lead + (n1, n2))
+        ar = ar - jnp.einsum("...ab,ak->...kb", xi, w1i)
+        ai = ai + jnp.einsum("...ab,ak->...kb", xi, w1r)
+    br = ar * twr - ai * twi
+    bi = ar * twi + ai * twr
+    cr = jnp.einsum("...kb,bm->...mk", br, w2r) - jnp.einsum(
+        "...kb,bm->...mk", bi, w2i)
+    ci = jnp.einsum("...kb,bm->...mk", br, w2i) + jnp.einsum(
+        "...kb,bm->...mk", bi, w2r)
+    # X[n1*k2 + k1] -> row-major (k2, k1) == the ...mk layout above
+    return cr.reshape(lead + (n,)), ci.reshape(lead + (n,))
+
+
+def rfft(x, n: int = None, force_mm: bool = None):
+    """Drop-in jnp.fft.rfft(x, n, axis=-1); matmul path on TPU."""
+    if n is None:
+        n = x.shape[-1]
+    use_mm = on_tpu() if force_mm is None else force_mm
+    if not use_mm or n & (n - 1) or n < 256:
+        return jnp.fft.rfft(x, n, axis=-1)
+    if x.shape[-1] < n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])])
+    re, im = _ct_core(x[..., :n], None, n)
+    return jax.lax.complex(re[..., : n // 2 + 1], im[..., : n // 2 + 1])
+
+
+def irfft(X, n: int, force_mm: bool = None):
+    """Drop-in jnp.fft.irfft(X, n, axis=-1); matmul path on TPU."""
+    use_mm = on_tpu() if force_mm is None else force_mm
+    if not use_mm or n & (n - 1) or n < 256:
+        return jnp.fft.irfft(X, n, axis=-1)
+    nb = n // 2 + 1
+    X = X[..., :nb]
+    re, im = jnp.real(X), jnp.imag(X)
+    # full Hermitian spectrum, then inverse CT; result imag ~ 0
+    tail = slice(n // 2 - 1, 0, -1)
+    re_f = jnp.concatenate([re, re[..., tail]], axis=-1)
+    im_f = jnp.concatenate([im, -im[..., tail]], axis=-1)
+    out_re, _ = _ct_core(re_f, im_f, n, inverse=True)
+    return out_re / n
+
+
+def fft(x, n: int = None, force_mm: bool = None):
+    """Drop-in jnp.fft.fft for real or complex x; matmul path on TPU."""
+    if n is None:
+        n = x.shape[-1]
+    use_mm = on_tpu() if force_mm is None else force_mm
+    if not use_mm or n & (n - 1) or n < 256:
+        return jnp.fft.fft(x, n, axis=-1)
+    if x.shape[-1] < n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])])
+    x = x[..., :n]
+    if jnp.iscomplexobj(x):
+        re, im = _ct_core(jnp.real(x), jnp.imag(x), n)
+    else:
+        re, im = _ct_core(x, None, n)
+    return jax.lax.complex(re, im)
+
+
+def ifft(X, n: int = None, force_mm: bool = None):
+    """Drop-in jnp.fft.ifft (complex result); matmul path on TPU."""
+    if n is None:
+        n = X.shape[-1]
+    use_mm = on_tpu() if force_mm is None else force_mm
+    if not use_mm or n & (n - 1) or n < 256:
+        return jnp.fft.ifft(X, n, axis=-1)
+    if X.shape[-1] < n:
+        X = jnp.pad(X, [(0, 0)] * (X.ndim - 1) + [(0, n - X.shape[-1])])
+    X = X[..., :n]
+    re, im = _ct_core(jnp.real(X), jnp.imag(X), n, inverse=True)
+    return jax.lax.complex(re / n, im / n)

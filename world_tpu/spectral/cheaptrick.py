@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..dsp import fftmm
 from ..dsp.interp import interp1h_uniform
 from ..dsp.minphase import mirror_full
 from ..frames import (apply_adaptive_window, uniform_frame_period_ms,
@@ -55,7 +56,7 @@ def _power_spectrum_with_dc_fill(waveform_padded, shift, fs, fft_size, f0, dtype
     # sit at position 0 for the fft; a circular left-shift by `shift` does
     # that exactly (nothing nonzero wraps), and in the spectrum it is just a
     # phase ramp — power needs NO shift at all
-    spec0 = jnp.fft.fft(waveform_padded[:, :fft_size], fft_size, axis=-1)
+    spec0 = fftmm.fft(waveform_padded[:, :fft_size], fft_size)
     k_idx = jnp.arange(fft_size, dtype=dtype)[None, :]
     ramp = jnp.exp((2j * jnp.pi / fft_size) * shift[:, None].astype(dtype) * k_idx)
     ps_spectrum = spec0 * ramp
@@ -96,8 +97,8 @@ def _smoothing_with_recovery(smoothed_full, f0, fs, fft_size: int, q1, dtype):
     sym = np.where(idx > fft_size // 2, fft_size - idx, idx)
     sl = sl[:, sym]
     cl = cl[:, sym]
-    cep = jnp.fft.fft(jnp.log(smoothed_full), axis=-1)
-    env = jnp.exp(jnp.fft.ifft(cep * sl * cl, axis=-1).real)
+    cep = fftmm.fft(jnp.log(smoothed_full))
+    env = jnp.exp(fftmm.ifft(cep * sl * cl).real)
     return env[:, : fft_size // 2 + 1]
 
 

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..dsp import fftmm
 from ..dsp.interp import interp1_extrap
 from ..dsp.minphase import minimum_phase_spectrum, mirror_full
 from ..dsp.windows import np_hanning_matlab
@@ -131,7 +132,7 @@ def _synthesis_core(f0, vuv, temporal_positions, spectrogram, aperiodicity,
     ramp = jnp.exp(-1j * (coefficient * shifts)[:, None] * half_k[None, :])
     half = half * ramp
     full = jnp.concatenate([half, half[:, -2:0:-1].conj()], axis=1)
-    response = jnp.fft.fftshift(jnp.fft.ifft(full, axis=-1).real, axes=-1)
+    response = jnp.fft.fftshift(fftmm.ifft(full).real, axes=-1)
     dc_remover = dc_base[None, :] * (-jnp.sum(response, axis=1, keepdims=True))
     periodic = (response + dc_remover) * jnp.sqrt(
         jnp.maximum(1.0, noise_sizes.astype(dtype)))[:, None]
@@ -141,7 +142,7 @@ def _synthesis_core(f0, vuv, temporal_positions, spectrogram, aperiodicity,
     ap_spec = jnp.where(voiced[:, None], spec * aps, spec)
     ap_spec = jnp.maximum(ap_spec, jnp.finfo(dtype).eps)
     ap_response = jnp.fft.fftshift(
-        jnp.fft.ifft(minimum_phase_spectrum(mirror_full(ap_spec)), axis=-1).real,
+        fftmm.ifft(minimum_phase_spectrum(mirror_full(ap_spec))).real,
         axes=-1)
     n_noise = jnp.maximum(3, jnp.minimum(noise_sizes, max_noise))
     noise_mask = jnp.arange(max_noise)[None, :] < n_noise[:, None]
@@ -156,8 +157,8 @@ def _synthesis_core(f0, vuv, temporal_positions, spectrogram, aperiodicity,
                       / n_noise[:, None], 0.0)
     # conv(noise, response)[:fft_size]  (fftfilt, synthesis.py:189-250)
     conv_n = 2 * fft_size
-    ap_out = jnp.fft.irfft(jnp.fft.rfft(noise, conv_n, axis=-1)
-                           * jnp.fft.rfft(ap_response, conv_n, axis=-1),
+    ap_out = fftmm.irfft(fftmm.rfft(noise, conv_n)
+                           * fftmm.rfft(ap_response, conv_n),
                            conv_n, axis=-1)[:, :fft_size]
 
     del k_overlap

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..dsp import fftmm
 from ..dsp.interp import interp1_extrap
 from ..dsp.minphase import minimum_phase_spectrum, mirror_full
 from ..dsp.windows import np_hanning_matlab
@@ -119,7 +120,7 @@ def _waveform_core(excitation, spectrogram, temporal_positions, fs, fft_size,
     tmp = jnp.take(excitation, seg_idx) * win[None, :]
     spec = spectrogram.T[1:n_frames - 2]  # frame i uses column i-1
     mp = minimum_phase_spectrum(mirror_full(spec))
-    resp = jnp.fft.ifft(mp * jnp.fft.fft(tmp, fft_size, axis=-1), axis=-1).real
+    resp = fftmm.ifft(mp * fftmm.fft(tmp, fft_size)).real
     from ..dsp.ola import uniform_ola
 
     return uniform_ola(resp, fps - half - 1, fps, y_len)
