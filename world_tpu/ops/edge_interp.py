@@ -74,10 +74,12 @@ def _cummax(v, neg, reverse=False):
     return v
 
 
-def _chains_kernel(x_ref, out_ref, m_ref):
-    """9 edge chains for a (BLK, n) tile -> out (NCH, BLK, n+2), each chain
-    left-padded with two copies of its first value (the sampler's margin-2 /
-    margin-1 left clip becomes a plain lookup)."""
+def _chains_kernel(x_ref, out_ref, m_ref, *, nB, adv, advp):
+    """9 edge chains for a (BLK, n) tile, written directly as the sampling
+    kernel's (nB, NCH*BLK, advp) window blocks.  Each chain is left-padded
+    with two copies of its first value (the sampler's margin-2 / margin-1
+    left clip becomes a plain lookup) and right-edge-padded so window reads
+    past the end see the final chain value (the right clip)."""
     dtype = x_ref.dtype
     x = x_ref[:]                                         # (BLK, n)
     neg = jnp.asarray(-_BIG, dtype)
@@ -101,16 +103,75 @@ def _chains_kernel(x_ref, out_ref, m_ref):
         cur = -_cummax(-at_cross, neg, reverse=True)
         chains.append(cur)
 
-    for c, ch in enumerate(chains):
-        out_ref[c] = jnp.concatenate([ch[:, :1], ch[:, :1], ch], axis=1)
+    n = x.shape[1]
+    L = n + 2
+    lpad = max(0, (nB - 1) * adv + advp - L)
+    packed = jnp.concatenate(
+        [jnp.concatenate([ch[:, :1], ch[:, :1], ch], axis=1)
+         for ch in chains], axis=0)                      # (NCH*BLK, L)
+    if lpad:
+        packed = jnp.concatenate(
+            [packed, jnp.broadcast_to(packed[:, -1:], (packed.shape[0],
+                                                       lpad))], axis=1)
+    for b in range(nB):
+        out_ref[b] = packed[:, b * adv : b * adv + advp]
     n_edges = jnp.sum(mask.astype(jnp.int32), axis=-1, keepdims=True)
     m_ref[:] = jnp.maximum(n_edges - 1, 0)
 
 
-def _sample_kernel(win_ref, oh_ref, isprev_ref, out_ref):
-    full = dot_exact_b(win_ref[0], oh_ref[0])            # (RBLK, 2*QB)
+def _select_kernel(win_ref, oh_ref, tq_ref, out_ref, *, fs):
+    """One-hot-sample the 9 chains of a BLK-signal-row group at QB frames,
+    then run the interval selection / interp (f0.events.interval_select,
+    restated over a 9-list) entirely in VMEM."""
+    dtype = win_ref.dtype
+    full = dot_exact_b(win_ref[0], oh_ref[0])            # (NCH*BLK, 2*QB)
     qb = out_ref.shape[2]
-    out_ref[0] = jnp.where(isprev_ref[:] != 0, full[:, :qb], full[:, qb:])
+    pos_inf = jnp.asarray(np.inf, dtype)
+    neg_inf = jnp.asarray(-np.inf, dtype)
+    E = []
+    for c in range(_NCH):
+        sl = full[c * _BLK : (c + 1) * _BLK]
+        e = sl[:, :qb] if c < _N_PREV else sl[:, qb:]
+        e = jnp.where(e <= -1e29, neg_inf,
+                      jnp.where(e >= 1e29, pos_inf, e))  # sentinel -> inf
+        E.append(e)
+
+    tq = tq_ref[0, :1, :]                                # (1, QB)
+    T = tq * fs
+    valid = [jnp.isfinite(e) for e in E]
+    one = jnp.ones((), dtype)
+    mids, f0s, mid_valid = [], [], []
+    for i in range(_NCH - 1):
+        mids.append((E[i] + E[i + 1]) / 2.0)
+        d = E[i + 1] - E[i]
+        f0s.append(fs / jnp.where(d <= 0, one, d))
+        mid_valid.append(valid[i] & valid[i + 1])
+
+    def isum(parts):
+        acc = parts[0].astype(jnp.int32)
+        for p in parts[1:]:
+            acc = acc + p.astype(jnp.int32)
+        return acc
+
+    left_invalid = isum([~v for v in valid[:_N_PREV]])
+    v_count = isum(mid_valid)
+    raw_cnt = isum([mv & (m <= T) for mv, m in zip(mid_valid, mids)]) \
+        + left_invalid
+    hi_v = left_invalid + jnp.maximum(v_count, 2) - 1
+    j = jnp.clip(raw_cnt - 1, left_invalid, hi_v - 1)
+
+    def sel(parts, jj):
+        out = parts[0]
+        for i in range(1, len(parts)):
+            out = jnp.where(jj == i, parts[i], out)
+        return out
+
+    x0 = sel(mids, j) / fs
+    x1 = sel(mids, j + 1) / fs
+    y0 = sel(f0s, j)
+    y1 = sel(f0s, j + 1)
+    dx = x1 - x0
+    out_ref[0] = y0 + (y1 - y0) / jnp.where(dx == 0, one, dx) * (tq - x0)
 
 
 def _selection_matrix(pnum, qden, Q, QB, adv, advp):
@@ -133,34 +194,13 @@ def _selection_matrix(pnum, qden, Q, QB, adv, advp):
 
 @partial(jax.jit, static_argnames=("fs", "pnum", "qden", "Q", "interpret"))
 def _interval_interp_pallas(x, tq, fs, pnum, qden, Q, interpret=False):
-    from ..f0.events import interval_select
-
     S, n = x.shape
     dtype = x.dtype
     pad = (-S) % _BLK
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
     Sp = S + pad
-    L = n + 2
-
-    chains, m = pl.pallas_call(
-        _chains_kernel,
-        grid=(Sp // _BLK,),
-        in_specs=[
-            pl.BlockSpec((_BLK, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((_NCH, _BLK, L), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BLK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((_NCH, Sp, L), dtype),
-                   jax.ShapeDtypeStruct((Sp, 1), jnp.int32)],
-        # the (9, 8, n) chains tile + working set tops the default 16M
-        # scoped-vmem budget; v5e has 128M of VMEM
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
-        interpret=interpret,
-    )(x)
+    RB = _NCH * _BLK
 
     # QB a multiple of qden => consecutive QB-frame blocks advance by exactly
     # adv samples; each block reads a width-advp 128-aligned chain window
@@ -170,48 +210,51 @@ def _interval_interp_pallas(x, tq, fs, pnum, qden, Q, interpret=False):
     width = ((QB - 1) * pnum) // qden + 4   # > max one-hot row index + 1
     advp = -(-width // 128) * 128
 
-    R = _NCH * Sp
-    packed = chains.reshape(R, L)
-    rpad = (-R) % _RBLK
-    if rpad:
-        packed = jnp.pad(packed, ((0, rpad), (0, 0)))
-    Rp = R + rpad
-    lpad = (nB - 1) * adv + advp - L
-    if lpad > 0:
-        packed = jnp.pad(packed, ((0, 0), (0, lpad)), mode="edge")
-    # (nB, Rp, advp) stacked per-block windows — nB static XLA slices
-    windows = jnp.stack([jax.lax.slice(packed, (0, b * adv),
-                                       (Rp, b * adv + advp))
-                         for b in range(nB)])
+    chains_kernel = partial(_chains_kernel, nB=nB, adv=adv, advp=advp)
+    windows, m = pl.pallas_call(
+        chains_kernel,
+        grid=(Sp // _BLK,),
+        in_specs=[
+            pl.BlockSpec((_BLK, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nB, RB, advp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((nB, _NCH * Sp, advp), dtype),
+                   jax.ShapeDtypeStruct((Sp, 1), jnp.int32)],
+        # the full-length chains + the (nB, 72, advp) window block top the
+        # default 16M scoped-vmem budget; v5e has 128M of VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(x)
 
     oh = jnp.asarray(_selection_matrix(pnum, qden, Q, QB, adv, advp),
                      dtype=dtype)
-    is_prev = np.zeros((Rp, 1), np.float32)
-    is_prev[: _N_PREV * Sp] = 1.0
-    is_prev = jnp.asarray(is_prev, dtype=dtype)
-
+    # frame-grid blocks with replicated sublanes: (nB, 8, QB) keeps the
+    # block shape (1, 8, QB) aligned for Mosaic
+    tq_b = jnp.broadcast_to(
+        jnp.pad(tq, (0, nB * QB - Q)).reshape(nB, 1, QB), (nB, 8, QB))
+    select_kernel = partial(_select_kernel, fs=fs)
     sampled = pl.pallas_call(
-        _sample_kernel,
-        grid=(nB, Rp // _RBLK),
+        select_kernel,
+        grid=(nB, Sp // _BLK),
         in_specs=[
-            pl.BlockSpec((1, _RBLK, advp), lambda b, r: (b, r, 0),
+            pl.BlockSpec((1, RB, advp), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, advp, 2 * QB), lambda b, r: (b, 0, 0),
+            pl.BlockSpec((1, advp, 2 * QB), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_RBLK, 1), lambda b, r: (r, 0),
+            pl.BlockSpec((1, 8, QB), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _RBLK, QB), lambda b, r: (b, r, 0),
+        out_specs=pl.BlockSpec((1, _BLK, QB), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nB, Rp, QB), dtype),
+        out_shape=jax.ShapeDtypeStruct((nB, Sp, QB), dtype),
         interpret=interpret,
-    )(windows, oh, is_prev)
+    )(windows, oh, tq_b)
 
-    E = (sampled.transpose(1, 0, 2).reshape(Rp, nB * QB)[:R, :Q]
-         .reshape(_NCH, Sp, Q).transpose(1, 2, 0)[:S])
-    E = jnp.where(E <= -1e29, jnp.asarray(-np.inf, dtype),
-                  jnp.where(E >= 1e29, jnp.asarray(np.inf, dtype), E))
-    out = interval_select(E, tq, fs, _N_PREV)
+    out = sampled.transpose(1, 0, 2).reshape(Sp, nB * QB)[:S, :Q]
     return out, m[:S, 0]
 
 

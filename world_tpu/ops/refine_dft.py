@@ -105,12 +105,26 @@ def _harmonic_meta(f0, actual_fs, nb, dtype):
 def _kernel(seg_ref, phase_ref, f0_ref, basis_ref, out_ref, *,
             actual_fs, max_half, nb, f0_floor, f0_ceil):
     dtype = seg_ref.dtype
+    f0 = f0_ref[0, :, 0]                               # (BLK,)
+    out_ref[0] = jnp.zeros(out_ref.shape[1:], dtype)
+    # the compaction ranks candidates per frame, so high candidate slots are
+    # empty for most frame blocks — skip those tiles entirely (masked
+    # candidates produce (0, 0) either way)
+    @pl.when(jnp.any(f0 > 1e-6))
+    def _body():
+        _kernel_body(seg_ref, phase_ref, f0, basis_ref, out_ref,
+                     actual_fs=actual_fs, max_half=max_half, nb=nb,
+                     f0_floor=f0_floor, f0_ceil=f0_ceil)
+
+
+def _kernel_body(seg_ref, phase_ref, f0, basis_ref, out_ref, *,
+                 actual_fs, max_half, nb, f0_floor, f0_ceil):
+    dtype = seg_ref.dtype
     seg = seg_ref[:]                                   # (BLK, W)
     W = seg.shape[1]
     S = 2 * (nb - 1)
     base = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) - max_half
     base_abs = jnp.abs(base).astype(dtype)
-    f0 = f0_ref[0, :, 0]                               # (BLK,)
     mw, dw = _windows(phase_ref[:], f0, actual_fs, max_half, base_abs,
                       fast_cos=True)
     basis = basis_ref[:]
@@ -162,7 +176,7 @@ def _refine_pallas(seg, phase, f0, basis, actual_fs, max_half, nb,
     if pad:
         seg = jnp.pad(seg, ((0, pad), (0, 0)))
         phase = jnp.pad(phase, ((0, pad), (0, 0)))
-        f0 = jnp.pad(f0, ((0, 0), (0, pad)), constant_values=1.0)
+        f0 = jnp.pad(f0, ((0, 0), (0, pad)))   # 0-pad: rides the tile skip
     Bp = B + pad
     kernel = partial(_kernel, actual_fs=actual_fs, max_half=max_half, nb=nb,
                      f0_floor=f0_floor, f0_ceil=f0_ceil)

@@ -158,8 +158,8 @@ def _synthesis_core(f0, vuv, temporal_positions, spectrogram, aperiodicity,
     # conv(noise, response)[:fft_size]  (fftfilt, synthesis.py:189-250)
     conv_n = 2 * fft_size
     ap_out = fftmm.irfft(fftmm.rfft(noise, conv_n)
-                           * fftmm.rfft(ap_response, conv_n),
-                           conv_n, axis=-1)[:, :fft_size]
+                         * fftmm.rfft(ap_response, conv_n),
+                         conv_n)[:, :fft_size]
 
     del k_overlap
     contributions = jnp.where(valid[:, None], periodic + ap_out, 0.0)
