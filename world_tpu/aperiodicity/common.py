@@ -24,7 +24,7 @@ import numpy as np
 
 from ..dsp import fftmm
 from ..dsp.minphase import mirror_full
-from ..dsp.scanops import matmul_cumsum, take_rows
+from ..dsp.scanops import matmul_cumsum, shift_select_rows, take_rows
 from ..dsp.windows import np_nuttall
 from ..frames import (apply_adaptive_window, uniform_centered_slabs,
                       windowed_segment_batch)
@@ -66,14 +66,17 @@ def dc_correction_half(signal_half, f0, fs, fft_size: int, dtype):
                        KL=256, dtype=dtype)
 
 
-def rect_smooth_half(signal_full, width, fs, fft_size: int, dtype):
+def rect_smooth_half(signal_full, width, fs, fft_size: int, dtype,
+                     max_width_hz: float = 4000.0):
     """Rectangular smoothing of an even full spectrum (d4c.py:178-188,
     cheaptrick.py:103-116): cumsum high/low difference at per-frame ±width/2.
 
     The per-frame query offsets are CONSTANT along the bin axis, so the two
-    lerped cumsum reads are per-row fractional shifts — evaluated as ONE
-    FFT phase ramp instead of row gathers (TPU gathers serialize; the
-    fs-wide query range stays far from the circular boundary, so no wrap).
+    lerped cumsum reads are per-row fractional SHIFTS of bounded range
+    (|w/2| <= max_width_hz/2, i.e. ~w*fft_size/(2fs) bins): a radix
+    shift-select + lerp, no gathers, no transcendentals.  All realistic
+    smoothing widths (<= 2*f0_ceil) sit far inside the 4 kHz bound; the
+    clip only engages for absurd f0 (> ~6 kHz).
     Returns (F, fft_size//2+1) == (cs(k*df+w/2) - cs(k*df-w/2)) / width.
     """
     df = fs / fft_size
@@ -82,24 +85,23 @@ def rect_smooth_half(signal_full, width, fs, fft_size: int, dtype):
         width = width[:, None]
     double_spectrum = jnp.concatenate([signal_full, signal_full], axis=-1)
     cs = matmul_cumsum(double_spectrum * df)
-    M = 2 * fft_size
     x0 = -fs + df / 2
+    nb = fft_size // 2 + 1
     # query position for bin k: k + alpha with per-row alpha = (+-w/2 - x0)/df
-    a_lo = (-width / 2 - x0) / df
-    a_hi = (width / 2 - x0) / df
-    Y = fftmm.rfft(cs)
-    j = jnp.arange(M // 2 + 1, dtype=dtype)[None, :]
-    w_ang = 2 * jnp.pi * j / M
+    span = int(np.ceil(max_width_hz / 2 / df)) + 2
+    center = fft_size  # alpha at width=0: (0 - x0)/df = fft_size - 1/2
 
-    def ramp(alpha):
-        # y[k] = cs[k + alpha]  <=>  Y[j] * e^{+i w j alpha} (fractional lerp)
+    def read(alpha):
         m = jnp.floor(alpha)
         frac = (alpha - m).astype(dtype)
-        return ((1 - frac) * jnp.exp(1j * w_ang * m)
-                + frac * jnp.exp(1j * w_ang * (m + 1)))
+        sh = jnp.clip(m.astype(jnp.int32) - (center - span),
+                      0, 2 * span)[:, 0]
+        v = shift_select_rows(cs[:, center - span :], sh, 2 * span, nb + 1)
+        return v[:, :nb] * (1 - frac) + v[:, 1 : nb + 1] * frac
 
-    diff = fftmm.irfft(Y * (ramp(a_hi) - ramp(a_lo)), M)
-    return diff[:, : fft_size // 2 + 1] / width
+    a_lo = (-width / 2 - x0) / df
+    a_hi = (width / 2 - x0) / df
+    return (read(a_hi) - read(a_lo)) / width
 
 
 # backwards-compatible name

@@ -14,6 +14,24 @@ import numpy as np
 from .dsp.rounding import round_matlab
 
 
+
+def _adaptive_window_values(time_axis, f0, window_type: str):
+    """Hann/Blackman values at time_axis*f0.  In f32 the Blackman second
+    cosine uses the double-angle identity (halves the dominant
+    transcendental count on TPU); f64 keeps the reference's two-cos form
+    bit-for-bit."""
+    c1 = jnp.cos(jnp.pi * time_axis * f0)
+    if window_type == "hanning":
+        return 0.5 * c1 + 0.5
+    if window_type != "blackman":
+        raise ValueError(window_type)
+    if c1.dtype == jnp.float32:
+        c2 = 2.0 * c1 * c1 - 1.0
+    else:
+        c2 = jnp.cos(jnp.pi * time_axis * f0 * 2)
+    return 0.08 * c2 + 0.5 * c1 + 0.42
+
+
 def uniform_frame_period_ms(temporal_positions):
     """Frame period in ms if temporal_positions is the standard uniform grid
     (arange * fp / 1000), else None (slower gather paths are used then)."""
@@ -128,13 +146,7 @@ def windowed_segment(x, fs, f0, temporal_position, half_length, max_half: int,
     else:
         time_axis = base_index / fs / half_length
 
-    if window_type == "hanning":
-        window = 0.5 * jnp.cos(jnp.pi * time_axis * f0) + 0.5
-    elif window_type == "blackman":
-        window = (0.08 * jnp.cos(jnp.pi * time_axis * f0 * 2)
-                  + 0.5 * jnp.cos(jnp.pi * time_axis * f0) + 0.42)
-    else:
-        raise ValueError(window_type)
+    window = _adaptive_window_values(time_axis, f0, window_type)
     window = jnp.where(mask, window, 0.0)
     if normalize_window:
         window = window / jnp.sqrt(jnp.sum(window ** 2))
@@ -164,13 +176,7 @@ def apply_adaptive_window(segment, fs, f0, temporal_position, half_length,
     else:
         time_axis = jnp.broadcast_to(base_index / fs / half_length, mask.shape)
 
-    if window_type == "hanning":
-        window = 0.5 * jnp.cos(jnp.pi * time_axis * f0) + 0.5
-    elif window_type == "blackman":
-        window = (0.08 * jnp.cos(jnp.pi * time_axis * f0 * 2)
-                  + 0.5 * jnp.cos(jnp.pi * time_axis * f0) + 0.42)
-    else:
-        raise ValueError(window_type)
+    window = _adaptive_window_values(time_axis, f0, window_type)
     window = jnp.where(mask, window, 0.0)
     if normalize_window:
         window = window / jnp.sqrt(jnp.sum(window ** 2, axis=1, keepdims=True))
@@ -207,13 +213,7 @@ def windowed_segment_batch(x, fs, f0, temporal_position, half_length,
         time_axis = jnp.broadcast_to(base_index / fs / half_length,
                                      mask.shape)
 
-    if window_type == "hanning":
-        window = 0.5 * jnp.cos(jnp.pi * time_axis * f0) + 0.5
-    elif window_type == "blackman":
-        window = (0.08 * jnp.cos(jnp.pi * time_axis * f0 * 2)
-                  + 0.5 * jnp.cos(jnp.pi * time_axis * f0) + 0.42)
-    else:
-        raise ValueError(window_type)
+    window = _adaptive_window_values(time_axis, f0, window_type)
     window = jnp.where(mask, window, 0.0)
     if normalize_window:
         window = window / jnp.sqrt(jnp.sum(window ** 2, axis=1, keepdims=True))
