@@ -1,0 +1,91 @@
+"""End-to-end TPU verification: drive the public World API on the reference
+fixture and compare against the golden files.  Run via:
+
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/verify_tpu.py
+"""
+import sys
+
+import numpy as np
+from scipy.io import wavfile
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from world_tpu import World
+
+    fs, x_int16 = wavfile.read("/root/reference/test/test-mwm.wav")
+    fs = int(fs)
+    x = (x_int16 / (2 ** 15 - 1)).astype(np.float32)
+    w = World()
+    failures = []
+
+    def check(name, cond, detail=""):
+        status = "ok " if cond else "FAIL"
+        print(f"[{status}] {name} {detail}")
+        if not cond:
+            failures.append(name)
+
+    # --- harvest + requiem ---------------------------------------------
+    dat = w.encode(fs, x, f0_method="harvest", is_requiem=True)
+    g = np.load("/root/repo/tests/golden/harvest.npz")
+    f0 = np.asarray(dat["f0"])
+    vuv = np.asarray(dat["vuv"]).astype(bool)
+    gvuv = g["f0"] > 0
+    both = vuv & gvuv
+    agree = float(np.mean(vuv == gvuv))
+    rmse = float(np.sqrt(np.mean((f0[both] - g["f0"][both]) ** 2)))
+    check("harvest vuv agreement > 0.99", agree > 0.99, f"({agree:.4f})")
+    check("harvest voiced F0 RMSE < 1 Hz", rmse < 1.0, f"({rmse:.3f})")
+    out = w.decode(dat)
+    y = np.asarray(out["out"] if "out" in out else out["y"])
+    check("requiem resynth finite", bool(np.all(np.isfinite(y))),
+          f"(max {np.max(np.abs(y)):.3f}, rms {np.sqrt(np.mean(y**2)):.4f})")
+    check("requiem resynth energy sane",
+          0.03 < float(np.sqrt(np.mean(y ** 2))) < 0.3)
+
+    # --- dio + stonemask + classic synthesis ---------------------------
+    dat_d = w.encode(fs, x, f0_method="dio", is_requiem=False)
+    gd = np.load("/root/repo/tests/golden/stonemask.npz")
+    f0d = np.asarray(dat_d["f0"])
+    gdf0 = gd["refined_f0"]
+    vd, gvd = f0d > 0, gdf0 > 0
+    bothd = vd & gvd
+    agreed = float(np.mean(vd == gvd))
+    rmsed = float(np.sqrt(np.mean((f0d[bothd] - gdf0[bothd]) ** 2)))
+    check("dio vuv agreement > 0.98", agreed > 0.98, f"({agreed:.4f})")
+    check("dio voiced F0 RMSE < 2 Hz", rmsed < 2.0, f"({rmsed:.3f})")
+    out_d = w.decode(dat_d)
+    yd = np.asarray(out_d["out"] if "out" in out_d else out_d["y"])
+    check("classic resynth finite", bool(np.all(np.isfinite(yd))),
+          f"(max {np.max(np.abs(yd)):.3f}, rms {np.sqrt(np.mean(yd**2)):.4f})")
+
+    # --- swipe ----------------------------------------------------------
+    _, f0s, _ = w.get_f0(fs, x, f0_method="swipe")
+    f0s = np.asarray(f0s)
+    check("swipe finite", bool(np.all(np.isfinite(f0s))))
+    check("swipe voiced fraction sane", 0.2 < float(np.mean(f0s > 0)) < 0.95,
+          f"({float(np.mean(f0s > 0)):.2f})")
+
+    # --- tiny / degenerate inputs --------------------------------------
+    short = x[: int(0.2 * fs)]
+    dat_s = w.encode(fs, short, f0_method="harvest", is_requiem=True)
+    ys = np.asarray(w.decode(dat_s)["out"])
+    check("0.2s clip finite", bool(np.all(np.isfinite(ys))))
+    zeros = np.zeros(fs // 2, np.float32)
+    dat_z = w.encode(fs, zeros, f0_method="harvest", is_requiem=True)
+    check("all-zeros clip all-unvoiced",
+          float(np.mean(np.asarray(dat_z["vuv"]))) == 0.0)
+    check("all-zeros f0 finite",
+          bool(np.all(np.isfinite(np.asarray(dat_z["f0"])))))
+
+    print()
+    if failures:
+        print("FAILED:", ", ".join(failures))
+        sys.exit(1)
+    print("ALL CHECKS PASSED")
+
+
+if __name__ == "__main__":
+    main()

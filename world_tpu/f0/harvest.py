@@ -311,9 +311,13 @@ def _select_best_f0(reference_f0, candidates, allowed_range):
 
 
 def search_f0_base(cands, scores):
-    """Highest-score candidate per frame (harvest.py:314-319)."""
+    """Highest-score candidate per frame (harvest.py:314-319).
+
+    One-hot masked sum instead of take_along_axis: the per-column gather
+    serializes on TPU (measured 4.2 ms for (105, 4645); this is ~0.05)."""
     idx = jnp.argmax(scores, axis=0)
-    return jnp.take_along_axis(cands, idx[None, :], axis=0)[0]
+    rows = jnp.arange(cands.shape[0])[:, None]
+    return jnp.sum(jnp.where(rows == idx[None, :], cands, 0.0), axis=0)
 
 
 def fix_step1(f0_base, allowed_range: float = 0.008):
