@@ -20,15 +20,22 @@ def _adaptive_window_values(time_axis, f0, window_type: str):
     cosine uses the double-angle identity (halves the dominant
     transcendental count on TPU); f64 keeps the reference's two-cos form
     bit-for-bit."""
-    c1 = jnp.cos(jnp.pi * time_axis * f0)
+    arg = jnp.pi * time_axis * f0
+    if arg.dtype == jnp.float32:
+        # |arg| <= ~pi inside the window mask; masked lanes tolerate the
+        # polynomial's out-of-range garbage
+        from .ops import cos_bounded
+        c1 = cos_bounded(arg)
+    else:
+        c1 = jnp.cos(arg)
     if window_type == "hanning":
         return 0.5 * c1 + 0.5
     if window_type != "blackman":
         raise ValueError(window_type)
-    if c1.dtype == jnp.float32:
+    if arg.dtype == jnp.float32:
         c2 = 2.0 * c1 * c1 - 1.0
     else:
-        c2 = jnp.cos(jnp.pi * time_axis * f0 * 2)
+        c2 = jnp.cos(2 * arg)
     return 0.08 * c2 + 0.5 * c1 + 0.42
 
 

@@ -60,3 +60,20 @@ def dot_3pass(a, b):
     return (jax.lax.dot(a_hi, b_hi, preferred_element_type=f32)
             + jax.lax.dot(a_hi, b_lo, preferred_element_type=f32)
             + jax.lax.dot(a_lo, b_hi, preferred_element_type=f32))
+
+
+def cos_bounded(u):
+    """cos(u) for |u| <= ~1.1*pi as a degree-12 even polynomial
+    (max abs err 1.3e-7 — f32 ulp scale).
+
+    Mosaic's transcendental cos costs ~40 VPU ops/element with full range
+    reduction; bounded window arguments need none.  Outside the fitted range
+    the value is finite garbage — callers mask those lanes anyway."""
+    t = u * u
+    c = (9.999999716352e-01, -4.999997495959e-01, 4.166630839832e-02,
+         -1.388697544634e-03, 2.475300844692e-05, -2.692248441169e-07,
+         1.670576848763e-09)
+    acc = c[6]
+    for k in (5, 4, 3, 2, 1, 0):
+        acc = acc * t + c[k]
+    return acc

@@ -50,26 +50,24 @@ _NCH = _N_PREV + _N_NEXT
 _BIG = 1e30         # finite missing-edge sentinel (matmul-safe)
 
 
-def _shift_fwd(v, s, fill):
+def _shift_fwd(v, s, fill, col):
     """v shifted right by s along the last axis, first s columns = fill."""
     rolled = pltpu.roll(v, s, axis=1)
-    col = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
     return jnp.where(col < s, fill, rolled)
 
 
-def _shift_rev(v, s, fill):
+def _shift_rev(v, s, fill, col):
     n = v.shape[-1]
     rolled = pltpu.roll(v, n - s, axis=1)    # circular left-shift by s
-    col = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
     return jnp.where(col >= n - s, fill, rolled)
 
 
-def _cummax(v, neg, reverse=False):
+def _cummax(v, neg, col, reverse=False):
     n = v.shape[-1]
     s = 1
     while s < n:
-        v = jnp.maximum(v, _shift_rev(v, s, neg) if reverse
-                        else _shift_fwd(v, s, neg))
+        v = jnp.maximum(v, _shift_rev(v, s, neg, col) if reverse
+                        else _shift_fwd(v, s, neg, col))
         s *= 2
     return v
 
@@ -86,21 +84,23 @@ def _chains_kernel(x_ref, out_ref, m_ref, *, nB, adv, advp):
     pos = jnp.asarray(_BIG, dtype)
     x_next = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
     mask = (x_next * x < 0) & (x_next < x)
-    col1 = (jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) + 1).astype(dtype)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)  # hoisted: the
+    col1 = (col + 1).astype(dtype)    # shift edge masks reuse one iota
     den = x_next - x
     fine = col1 - x / jnp.where(den == 0, jnp.ones((), dtype), den)
 
-    cur = _cummax(jnp.where(mask, fine, neg), neg)
+    cur = _cummax(jnp.where(mask, fine, neg), neg, col)
     prev_chain = [cur]
     for _ in range(_N_PREV - 1):
-        cur = _cummax(jnp.where(mask, _shift_fwd(cur, 1, neg), neg), neg)
+        cur = _cummax(jnp.where(mask, _shift_fwd(cur, 1, neg, col), neg),
+                      neg, col)
         prev_chain.append(cur)
     chains = prev_chain[::-1]                            # ascending P4..P1
-    cur = -_cummax(jnp.where(mask, -fine, neg), neg, reverse=True)
+    cur = -_cummax(jnp.where(mask, -fine, neg), neg, col, reverse=True)
     chains.append(cur)
     for _ in range(_N_NEXT - 1):
-        at_cross = jnp.where(mask, _shift_rev(cur, 1, pos), pos)
-        cur = -_cummax(-at_cross, neg, reverse=True)
+        at_cross = jnp.where(mask, _shift_rev(cur, 1, pos, col), pos)
+        cur = -_cummax(-at_cross, neg, col, reverse=True)
         chains.append(cur)
 
     n = x.shape[1]

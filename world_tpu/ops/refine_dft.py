@@ -50,8 +50,16 @@ def _windows(phase, f0, actual_fs, max_half, base_abs, fast_cos=False):
     wlt = (2 * half + 1) / actual_fs
     mask = base_abs <= half
     common = jnp.pi * phase / wlt
-    c2 = jnp.cos(2 * common)
-    c4 = 2.0 * c2 * c2 - 1.0 if fast_cos else jnp.cos(4 * common)
+    if fast_cos and dtype == jnp.float32:
+        from . import cos_bounded
+        c2 = cos_bounded(2 * common)   # |2*common| <= ~pi inside the mask
+        c4 = 2.0 * c2 * c2 - 1.0
+    elif fast_cos:
+        c2 = jnp.cos(2 * common)
+        c4 = 2.0 * c2 * c2 - 1.0
+    else:
+        c2 = jnp.cos(2 * common)
+        c4 = jnp.cos(4 * common)
     mw = 0.42 + 0.5 * c2 + 0.08 * c4
     mw = jnp.where(mask, mw, jnp.zeros((), dtype))
     right = jnp.pad(mw[..., 1:], [(0, 0)] * (mw.ndim - 1) + [(0, 1)])
