@@ -69,31 +69,14 @@ def main():
         return audio_seconds * per_call_utts / (best / K)
 
     xrt = throughput(step, xj, 1, 16)
-
-    # production serving runs batched: a 4-utterance vmap fills the chip
-    # better than a single stream (measured ~133x vs ~103x).  Report the
-    # better per-chip throughput; fall back to single-stream on any failure.
-    try:
-        B = 4
-        xb = jnp.asarray(np.stack([x] * B))
-
-        @jax.jit
-        def step_b(xb, pulse_seed, noise_seed):
-            return jax.vmap(
-                lambda xi: _encode_decode_one(
-                    xi, pulse_seed, noise_seed, fs=int(fs), frame_period=5,
-                    max_pulses=8192, max_candidates=max_candidates,
-                    max_sections=256))(xb)
-
-        float(checksum(step_b(xb, pulse, noise)))
-        xrt = max(xrt, throughput(step_b, xb, B, 4))
-    except Exception:
-        pass
+    # NB: a 4-utterance vmap measured ~35 ms/utt, but vmap-of-pallas_call
+    # currently MISCOMPILES (batched row != single-stream, see
+    # tools/verify_tpu.py history) — report only the verified single-stream
+    # number until the batched path passes correctness.
 
     baseline_xrt = 4.644 / (27.2 + 0.65)  # measured reference (BASELINE.md)
     print(json.dumps({
-        "metric": "harvest+requiem encode+decode per-chip throughput "
-                  "(best of single-stream / 4-batch)",
+        "metric": "harvest+requiem encode+decode xRT (audio-s/s)",
         "value": round(xrt, 2),
         "unit": "x realtime",
         "vs_baseline": round(xrt / baseline_xrt, 1),
