@@ -25,6 +25,10 @@ import numpy as np
 
 from ..ops import on_tpu
 
+# DEFAULT measured == full precision here and is fuse-friendly; see dsp.fir
+# for the one case where an explicit pin is required
+_PH = None
+
 
 @lru_cache(maxsize=None)
 def _plan(n: int):
@@ -64,18 +68,18 @@ def _ct_core(xr, xi, n, inverse=False):
 
     lead = xr.shape[:-1]
     xr = xr.reshape(lead + (n1, n2))
-    ar = jnp.einsum("...ab,ak->...kb", xr, w1r)
-    ai = jnp.einsum("...ab,ak->...kb", xr, w1i)
+    ar = jnp.einsum("...ab,ak->...kb", xr, w1r, precision=_PH)
+    ai = jnp.einsum("...ab,ak->...kb", xr, w1i, precision=_PH)
     if xi is not None:
         xi = xi.reshape(lead + (n1, n2))
-        ar = ar - jnp.einsum("...ab,ak->...kb", xi, w1i)
-        ai = ai + jnp.einsum("...ab,ak->...kb", xi, w1r)
+        ar = ar - jnp.einsum("...ab,ak->...kb", xi, w1i, precision=_PH)
+        ai = ai + jnp.einsum("...ab,ak->...kb", xi, w1r, precision=_PH)
     br = ar * twr - ai * twi
     bi = ar * twi + ai * twr
-    cr = jnp.einsum("...kb,bm->...mk", br, w2r) - jnp.einsum(
-        "...kb,bm->...mk", bi, w2i)
-    ci = jnp.einsum("...kb,bm->...mk", br, w2i) + jnp.einsum(
-        "...kb,bm->...mk", bi, w2r)
+    cr = (jnp.einsum("...kb,bm->...mk", br, w2r, precision=_PH)
+          - jnp.einsum("...kb,bm->...mk", bi, w2i, precision=_PH))
+    ci = (jnp.einsum("...kb,bm->...mk", br, w2i, precision=_PH)
+          + jnp.einsum("...kb,bm->...mk", bi, w2r, precision=_PH))
     # X[n1*k2 + k1] -> row-major (k2, k1) == the ...mk layout above
     return cr.reshape(lead + (n,)), ci.reshape(lead + (n,))
 

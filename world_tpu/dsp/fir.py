@@ -26,5 +26,9 @@ def fir_bank_full(y, bank):
     # cols[k, j] = y[k - j] for k in [0, n+L-1)
     cols = jnp.stack([ypad[L - 1 - j : L - 1 - j + n + L - 1]
                       for j in range(L)], axis=1)
+    # HIGHEST: under vmap XLA otherwise picks a reduced-precision batched
+    # matmul (measured 2e-2 drift vs the single-stream result, which
+    # perturbs zero-crossing times and cascades into the F0 candidates)
     return jnp.einsum("kj,bj->bk", cols, bank,
-                      preferred_element_type=y.dtype)
+                      preferred_element_type=y.dtype,
+                      precision=jax.lax.Precision.HIGHEST)

@@ -8,6 +8,7 @@ are nondecreasing, so the overlapping set is a contiguous run of at most K
 responses found with one binary search — K static, derived from the minimum
 response spacing.
 """
+import jax
 import jax.numpy as jnp
 import numpy as np
 

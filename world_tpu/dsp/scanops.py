@@ -10,6 +10,7 @@ replacements map the same math onto what the hardware likes:
     and FLAT 1-D gathers (arbitrary 1-D gathers are fast; take_along_axis
     and lax.scan-based searches are not).
 """
+import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -38,7 +38,8 @@ def dot_exact_b(a, b):
     bb = b.astype(jnp.bfloat16)
     out = None
     for part in _split3_f32(a):
-        d = jax.lax.dot(part, bb, preferred_element_type=jnp.float32)
+        d = jax.lax.dot(part, bb, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
         out = d if out is None else out + d
     return out
 
@@ -57,9 +58,10 @@ def dot_3pass(a, b):
     b_hi = b.astype(jnp.bfloat16)
     b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     f32 = jnp.float32
-    return (jax.lax.dot(a_hi, b_hi, preferred_element_type=f32)
-            + jax.lax.dot(a_hi, b_lo, preferred_element_type=f32)
-            + jax.lax.dot(a_lo, b_hi, preferred_element_type=f32))
+    P = jax.lax.Precision.DEFAULT
+    return (jax.lax.dot(a_hi, b_hi, preferred_element_type=f32, precision=P)
+            + jax.lax.dot(a_hi, b_lo, preferred_element_type=f32, precision=P)
+            + jax.lax.dot(a_lo, b_hi, preferred_element_type=f32, precision=P))
 
 
 def cos_bounded(u):

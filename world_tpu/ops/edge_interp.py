@@ -72,7 +72,51 @@ def _cummax(v, neg, col, reverse=False):
     return v
 
 
-def _chains_kernel(x_ref, out_ref, m_ref, *, nB, adv, advp):
+_LB = 512           # lane-block size of the two-level cummax
+
+
+def _onehot_dot(a, b_bf16):
+    """Exact a @ onehot for f32 ``a`` (3-term bf16 split; the one-hot side
+    has no low part) — plain dot for other dtypes (interpret/f64)."""
+    if a.dtype != jnp.float32:
+        return jax.lax.dot(a, b_bf16.astype(a.dtype),
+                           preferred_element_type=a.dtype)
+    from . import _split3_f32
+
+    out = None
+    for part in _split3_f32(a):
+        d = jax.lax.dot(part, b_bf16, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
+        out = d if out is None else out + d
+    return out
+
+
+def _cummax_2l(v, neg, col, col2, ext, expm, reverse=False):
+    """Running max via 9 local doubling rounds (window _LB) + a tiny
+    cross-block prefix: after the local rounds every block-end (fwd) /
+    block-start (rev) lane holds its block's max, so the long-range half of
+    the scan runs on an (R, n_blocks) array extracted and re-broadcast with
+    exact one-hot matmuls — 7 of 16 full-width roll rounds disappear.
+
+    ext (n, nb2) extracts block ends (fwd) or starts (rev); expm (nb2, n)
+    maps each lane to its own block (broadcast of the exclusive prefix)."""
+    n = v.shape[-1]
+    if n <= _LB:
+        return _cummax(v, neg, col, reverse)
+    s = 1
+    while s < _LB:
+        v = jnp.maximum(v, _shift_rev(v, s, neg, col) if reverse
+                        else _shift_fwd(v, s, neg, col))
+        s *= 2
+    blocks = _onehot_dot(v, ext)                     # (R, nb2) block maxima
+    pre = _cummax(blocks, neg, col2, reverse)
+    pre = (_shift_rev(pre, 1, neg, col2) if reverse  # exclusive: P_{k-1}/S_{k+1}
+           else _shift_fwd(pre, 1, neg, col2))
+    return jnp.maximum(v, _onehot_dot(pre, expm))
+
+
+def _chains_kernel(x_ref, extf_ref, extr_ref, expm_ref, out_ref, m_ref, *,
+                   nB, adv, advp):
     """9 edge chains for a (BLK, n) tile, written directly as the sampling
     kernel's (nB, NCH*BLK, advp) window blocks.  Each chain is left-padded
     with two copies of its first value (the sampler's margin-2 / margin-1
@@ -89,18 +133,26 @@ def _chains_kernel(x_ref, out_ref, m_ref, *, nB, adv, advp):
     den = x_next - x
     fine = col1 - x / jnp.where(den == 0, jnp.ones((), dtype), den)
 
-    cur = _cummax(jnp.where(mask, fine, neg), neg, col)
+    extf = extf_ref[:]
+    extr = extr_ref[:]
+    expm = expm_ref[:]
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], extf.shape[1]), 1)
+
+    def cmx(v, reverse=False):
+        return _cummax_2l(v, neg, col, col2, extr if reverse else extf,
+                          expm, reverse=reverse)
+
+    cur = cmx(jnp.where(mask, fine, neg))
     prev_chain = [cur]
     for _ in range(_N_PREV - 1):
-        cur = _cummax(jnp.where(mask, _shift_fwd(cur, 1, neg, col), neg),
-                      neg, col)
+        cur = cmx(jnp.where(mask, _shift_fwd(cur, 1, neg, col), neg))
         prev_chain.append(cur)
     chains = prev_chain[::-1]                            # ascending P4..P1
-    cur = -_cummax(jnp.where(mask, -fine, neg), neg, col, reverse=True)
+    cur = -cmx(jnp.where(mask, -fine, neg), reverse=True)
     chains.append(cur)
     for _ in range(_N_NEXT - 1):
         at_cross = jnp.where(mask, _shift_rev(cur, 1, pos, col), pos)
-        cur = -_cummax(-at_cross, neg, col, reverse=True)
+        cur = -cmx(-at_cross, reverse=True)
         chains.append(cur)
 
     n = x.shape[1]
@@ -210,12 +262,30 @@ def _interval_interp_pallas(x, tq, fs, pnum, qden, Q, interpret=False):
     width = ((QB - 1) * pnum) // qden + 4   # > max one-hot row index + 1
     advp = -(-width // 128) * 128
 
+    # two-level cummax helper matrices (bf16 one-hots, exact in the split
+    # dots): block-end / block-start extraction and block-membership expand
+    nb2 = -(-n // _LB)
+    ends = np.minimum(np.arange(nb2) * _LB + _LB - 1, n - 1)
+    extf_np = np.zeros((n, nb2), np.float32)
+    extf_np[ends, np.arange(nb2)] = 1.0
+    extr_np = np.zeros((n, nb2), np.float32)
+    extr_np[np.arange(nb2) * _LB, np.arange(nb2)] = 1.0
+    expm_np = np.zeros((nb2, n), np.float32)
+    expm_np[np.minimum(np.arange(n) // _LB, nb2 - 1), np.arange(n)] = 1.0
+    mdtype = jnp.bfloat16 if dtype == jnp.float32 else dtype
+    extf = jnp.asarray(extf_np, mdtype)
+    extr = jnp.asarray(extr_np, mdtype)
+    expm = jnp.asarray(expm_np, mdtype)
+
     chains_kernel = partial(_chains_kernel, nB=nB, adv=adv, advp=advp)
     windows, m = pl.pallas_call(
         chains_kernel,
         grid=(Sp // _BLK,),
         in_specs=[
             pl.BlockSpec((_BLK, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, nb2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, nb2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb2, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((nB, RB, advp), lambda i: (0, i, 0),
@@ -228,7 +298,7 @@ def _interval_interp_pallas(x, tq, fs, pnum, qden, Q, interpret=False):
         # default 16M scoped-vmem budget; v5e has 128M of VMEM
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
-    )(x)
+    )(x, extf, extr, expm)
 
     oh = jnp.asarray(_selection_matrix(pnum, qden, Q, QB, adv, advp),
                      dtype=dtype)
