@@ -104,3 +104,34 @@ def test_mcep_roundtrip_lsd():
     rec = mine.decode_mcep(mc, 1024)
     val = lsd(spec, rec)
     assert val < 8.0, f"MCEP-40 round-trip LSD {val} dB"
+
+
+def test_encode_16khz_matches_reference():
+    """Full harvest+requiem encode at 16 kHz: different static band counts,
+    FFT sizes and aperiodicity shapes than the 22.05 kHz fixture."""
+    import numpy as np
+
+    from world_tpu import World
+
+    g = np.load("tests/golden/harvest_16k.npz")
+    x = np.asarray(g["x16"])
+    fs = int(g["fs"])
+    dat = World().encode(fs, x, f0_method="harvest", is_requiem=True)
+    f0 = np.asarray(dat["f0"])
+    vuv = np.asarray(dat["vuv"]) > 0
+    gvuv = np.asarray(g["vuv"]) > 0
+    agree = np.mean(vuv == gvuv)
+    both = vuv & gvuv
+    rmse = np.sqrt(np.mean((f0[both] - g["f0"][both]) ** 2))
+    assert agree > 0.99, agree
+    assert rmse < 1.0, rmse
+    spec = np.asarray(dat["spectrogram"])
+    assert spec.shape == g["spectrogram"].shape
+    lsd = np.sqrt(np.mean((10 * np.log10(spec[:, both] + 1e-12)
+                           - 10 * np.log10(g["spectrogram"][:, both]
+                                           + 1e-12)) ** 2))
+    assert lsd < 1.0, lsd
+    bap = np.asarray(dat["aperiodicity"])
+    assert bap.shape == g["band_aperiodicity"].shape
+    ap_err = np.max(np.abs(bap[:, both] - g["band_aperiodicity"][:, both]))
+    assert ap_err < 1.0, ap_err
