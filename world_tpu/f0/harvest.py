@@ -436,15 +436,19 @@ def fix_step3(f0_step2, cands, scores, allowed_range: float = 0.18,
         k = jnp.arange(threshold1 + 1)
         eq_f = (i[None, :] - ed - 1) == k[:, None]          # (K, n)
         vf = jnp.einsum("k,kn->n", jnp.where(m_f, val_f, 0.0), eq_f,
-                        preferred_element_type=row.dtype)
+                        preferred_element_type=row.dtype,
+                        precision=jax.lax.Precision.HIGHEST)
         use_f = jnp.einsum("k,kn->n", m_f.astype(row.dtype), eq_f,
-                           preferred_element_type=row.dtype) > 0.5
+                           preferred_element_type=row.dtype,
+                           precision=jax.lax.Precision.HIGHEST) > 0.5
         row = jnp.where(use_f, vf, row)
         eq_b = (st - i[None, :] - 1) == k[:, None]
         vb = jnp.einsum("k,kn->n", jnp.where(m_b, val_b, 0.0), eq_b,
-                        preferred_element_type=row.dtype)
+                        preferred_element_type=row.dtype,
+                        precision=jax.lax.Precision.HIGHEST)
         use_b = jnp.einsum("k,kn->n", m_b.astype(row.dtype), eq_b,
-                           preferred_element_type=row.dtype) > 0.5
+                           preferred_element_type=row.dtype,
+                           precision=jax.lax.Precision.HIGHEST) > 0.5
         row = jnp.where(use_b, vb, row)
         in_rng = (i >= r0) & (i <= r1)
         mean_f0 = jnp.sum(jnp.where(in_rng, row, 0.0)) / jnp.sum(in_rng)
@@ -625,14 +629,17 @@ def _harvest_core(x, fs, f0_floor, f0_ceil, frame_period, max_candidates,
     sel = (rank[None, :, :] == s_ids[:, None, None]) & nz[None, :, :]
     selF = sel.astype(cands1.dtype)
     compact = jnp.einsum("cf,scf->sf", cands1, selF,
-                         preferred_element_type=cands1.dtype)
+                         preferred_element_type=cands1.dtype,
+                         precision=jax.lax.Precision.HIGHEST)
     ref_c, score_c = refine_candidates(y, actual_fs, basic_tp, compact,
                                        f0_floor, f0_ceil, max_half,
                                        stride_samples=actual_fs * 0.001)
     cands2 = jnp.einsum("sf,scf->cf", ref_c, selF,
-                        preferred_element_type=cands1.dtype)
+                        preferred_element_type=cands1.dtype,
+                         precision=jax.lax.Precision.HIGHEST)
     scores2 = jnp.einsum("sf,scf->cf", score_c, selF,
-                         preferred_element_type=cands1.dtype)
+                         preferred_element_type=cands1.dtype,
+                         precision=jax.lax.Precision.HIGHEST)
     refine_overflow = jnp.max(jnp.sum(nz, axis=0)) > C2
     cands3, scores3 = remove_unreliable(cands2, scores2)
 
