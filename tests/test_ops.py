@@ -59,16 +59,17 @@ def test_edge_interp_pallas_matches_xla():
     tq = jnp.asarray(np.arange(Q) / 1000.0)
 
     frac = Fraction(float(stride)).limit_denominator(1000)
-    got_f0, got_m = _interval_interp_pallas(x, tq, fs, frac.numerator,
-                                            frac.denominator, Q,
-                                            interpret=True)
     want_f0, want_m = batched_interval_interp(x, fs, tq, stride)
-    np.testing.assert_array_equal(np.asarray(got_m), np.asarray(want_m))
-    gf, wf = np.asarray(got_f0), np.asarray(want_f0)
-    both_nan = np.isnan(gf) & np.isnan(wf)
-    np.testing.assert_allclose(np.where(both_nan, 0.0, gf),
-                               np.where(both_nan, 0.0, wf),
-                               rtol=1e-10, atol=1e-10)
+    for blk in (8, 16):                  # both tile heights _pick_blk can use
+        got_f0, got_m = _interval_interp_pallas(x, tq, fs, frac.numerator,
+                                                frac.denominator, Q, blk=blk,
+                                                interpret=True)
+        np.testing.assert_array_equal(np.asarray(got_m), np.asarray(want_m))
+        gf, wf = np.asarray(got_f0), np.asarray(want_f0)
+        both_nan = np.isnan(gf) & np.isnan(wf)
+        np.testing.assert_allclose(np.where(both_nan, 0.0, gf),
+                                   np.where(both_nan, 0.0, wf),
+                                   rtol=1e-10, atol=1e-10)
 
 
 def test_edge_interp_pallas_f32_split_dot_exact():

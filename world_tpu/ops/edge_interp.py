@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import dot_exact_b, on_tpu
 
-_BLK = 8            # signal rows per chains-kernel tile
+_BLK = 8            # fallback signal rows per chains-kernel tile (see _pick_blk)
 _RBLK = 128         # packed chain rows per sampling-kernel tile (MXU M dim)
 _N_PREV = 4
 _N_NEXT = 5
@@ -171,18 +171,18 @@ def _chains_kernel(x_ref, extf_ref, extr_ref, expm_ref, out_ref, m_ref, *,
     m_ref[:] = jnp.maximum(n_edges - 1, 0)
 
 
-def _select_kernel(win_ref, oh_ref, tq_ref, out_ref, *, fs):
-    """One-hot-sample the 9 chains of a BLK-signal-row group at QB frames,
+def _select_kernel(win_ref, oh_ref, tq_ref, out_ref, *, fs, blk):
+    """One-hot-sample the 9 chains of a blk-signal-row group at QB frames,
     then run the interval selection / interp (f0.events.interval_select,
     restated over a 9-list) entirely in VMEM."""
     dtype = win_ref.dtype
-    full = dot_exact_b(win_ref[0], oh_ref[0])            # (NCH*BLK, 2*QB)
+    full = dot_exact_b(win_ref[0], oh_ref[0])            # (NCH*blk, 2*QB)
     qb = out_ref.shape[2]
     pos_inf = jnp.asarray(np.inf, dtype)
     neg_inf = jnp.asarray(-np.inf, dtype)
     E = []
     for c in range(_NCH):
-        sl = full[c * _BLK : (c + 1) * _BLK]
+        sl = full[c * blk : (c + 1) * blk]
         e = sl[:, :qb] if c < _N_PREV else sl[:, qb:]
         e = jnp.where(e <= -1e29, neg_inf,
                       jnp.where(e >= 1e29, pos_inf, e))  # sentinel -> inf
@@ -244,15 +244,38 @@ def _selection_matrix(pnum, qden, Q, QB, adv, advp):
     return oh
 
 
-@partial(jax.jit, static_argnames=("fs", "pnum", "qden", "Q", "interpret"))
-def _interval_interp_pallas(x, tq, fs, pnum, qden, Q, interpret=False):
+def _vmem_estimate(blk, n, nB, advp, nb2):
+    """Conservative chains-kernel VMEM footprint (bytes): dense per-row
+    arrays + packed chains + double-buffered window block + bf16 one-hots.
+    Calibrated against Mosaic's reported stack size on the 4.6 s fixture
+    (BLK=16 -> 103.9M reported, 109M estimated)."""
+    dense = 14 * 4 * n * blk
+    packed = _NCH * 4 * blk * (n + 2)
+    outblk = 2 * nB * _NCH * blk * advp * 4
+    mats = 3 * n * nb2 * 2
+    return dense + packed + outblk + mats
+
+
+def _pick_blk(n, nB, advp, nb2):
+    """Largest tile height whose footprint fits v5e's 128M VMEM (with
+    headroom); None -> caller should use the XLA path."""
+    for blk in (16, 8):
+        if _vmem_estimate(blk, n, nB, advp, nb2) <= 115 * 2 ** 20:
+            return blk
+    return None
+
+
+@partial(jax.jit, static_argnames=("fs", "pnum", "qden", "Q", "blk",
+                                   "interpret"))
+def _interval_interp_pallas(x, tq, fs, pnum, qden, Q, blk=_BLK,
+                            interpret=False):
     S, n = x.shape
     dtype = x.dtype
-    pad = (-S) % _BLK
+    pad = (-S) % blk
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
     Sp = S + pad
-    RB = _NCH * _BLK
+    RB = _NCH * blk
 
     # QB a multiple of qden => consecutive QB-frame blocks advance by exactly
     # adv samples; each block reads a width-advp 128-aligned chain window
@@ -280,9 +303,9 @@ def _interval_interp_pallas(x, tq, fs, pnum, qden, Q, interpret=False):
     chains_kernel = partial(_chains_kernel, nB=nB, adv=adv, advp=advp)
     windows, m = pl.pallas_call(
         chains_kernel,
-        grid=(Sp // _BLK,),
+        grid=(Sp // blk,),
         in_specs=[
-            pl.BlockSpec((_BLK, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, nb2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, nb2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nb2, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -290,13 +313,13 @@ def _interval_interp_pallas(x, tq, fs, pnum, qden, Q, interpret=False):
         out_specs=[
             pl.BlockSpec((nB, RB, advp), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BLK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((nB, _NCH * Sp, advp), dtype),
                    jax.ShapeDtypeStruct((Sp, 1), jnp.int32)],
         # the full-length chains + the (nB, 72, advp) window block top the
         # default 16M scoped-vmem budget; v5e has 128M of VMEM
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
         interpret=interpret,
     )(x, extf, extr, expm)
 
@@ -306,10 +329,10 @@ def _interval_interp_pallas(x, tq, fs, pnum, qden, Q, interpret=False):
     # block shape (1, 8, QB) aligned for Mosaic
     tq_b = jnp.broadcast_to(
         jnp.pad(tq, (0, nB * QB - Q)).reshape(nB, 1, QB), (nB, 8, QB))
-    select_kernel = partial(_select_kernel, fs=fs)
+    select_kernel = partial(_select_kernel, fs=fs, blk=blk)
     sampled = pl.pallas_call(
         select_kernel,
-        grid=(nB, Sp // _BLK),
+        grid=(nB, Sp // blk),
         in_specs=[
             pl.BlockSpec((1, RB, advp), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
@@ -318,7 +341,7 @@ def _interval_interp_pallas(x, tq, fs, pnum, qden, Q, interpret=False):
             pl.BlockSpec((1, 8, QB), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _BLK, QB), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, blk, QB), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nB, Sp, QB), dtype),
         interpret=interpret,
@@ -334,10 +357,17 @@ def interval_interp(signals, fs, t_frames, stride_samples: float):
     kernels on TPU, to f0.events.batched_interval_interp elsewhere."""
     frac = Fraction(float(stride_samples)).limit_denominator(1000)
     if on_tpu() and float(stride_samples) >= 4.0:
-        return _interval_interp_pallas(signals, t_frames, float(fs),
-                                       int(frac.numerator),
-                                       int(frac.denominator),
-                                       int(t_frames.shape[0]))
+        pnum, qden = int(frac.numerator), int(frac.denominator)
+        Q = int(t_frames.shape[0])
+        n = int(signals.shape[1])
+        QB = qden * max(1, -(-128 // qden))
+        nB = -(-Q // QB)
+        width = ((QB - 1) * pnum) // qden + 4
+        advp = -(-width // 128) * 128
+        blk = _pick_blk(n, nB, advp, -(-n // _LB))
+        if blk is not None:
+            return _interval_interp_pallas(signals, t_frames, float(fs),
+                                           pnum, qden, Q, blk=blk)
     from ..f0.events import batched_interval_interp
 
     return batched_interval_interp(signals, fs, t_frames, stride_samples)
