@@ -15,6 +15,11 @@ def main():
 
     import jax
 
+    # persistent jit cache: the pipeline programs are large and the remote
+    # tunnel makes first compiles minutes-long; repeated bench runs hit disk
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from world_tpu.parallel.batch import _encode_decode_one
     from world_tpu.synth.seeds import get_seeds_signals
 

@@ -37,6 +37,36 @@ def test_refine_dft_pallas_matches_xla():
                                rtol=1e-9, atol=1e-12)
 
 
+def test_refine_dft_custom_vmap_folds_batch():
+    """vmap over an utterance batch must fold into the frame-row axis and
+    reproduce each example's unbatched kernel result exactly (rows are
+    independent, so tile regrouping cannot change the math)."""
+    import jax
+
+    from world_tpu.ops.refine_dft import (_refine_pallas_batchable, dft_basis)
+
+    rng = np.random.RandomState(3)
+    N, C, B, W = 3, 4, 150, 45
+    nb = 33
+    actual_fs = 7350.0
+    max_half = (W - 1) // 2
+    seg = jnp.asarray(rng.randn(N, B, W))
+    phase = jnp.asarray(rng.randn(B, W) * 1e-3)       # unbatched (shared grid)
+    f0 = jnp.asarray(rng.rand(N, C, B) * 700 + 80)
+    f0 = f0.at[:, 0, :5].set(1e-12)
+    basis = dft_basis(W, nb, seg.dtype)
+    fn = _refine_pallas_batchable(actual_fs, max_half, nb, 71.0, 800.0,
+                                  interpret=True)
+    got_f0, got_sc = jax.vmap(fn, in_axes=(0, None, 0, None))(seg, phase, f0,
+                                                              basis)
+    for i in range(N):
+        want_f0, want_sc = fn(seg[i], phase, f0[i], basis)
+        np.testing.assert_array_equal(np.asarray(got_f0[i]),
+                                      np.asarray(want_f0))
+        np.testing.assert_array_equal(np.asarray(got_sc[i]),
+                                      np.asarray(want_sc))
+
+
 def test_edge_interp_pallas_matches_xla():
     from fractions import Fraction
 

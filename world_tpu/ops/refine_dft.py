@@ -242,6 +242,47 @@ def refine_full_xla(seg, phase, f0, basis, actual_fs, max_half, nb,
                         actual_fs, f0_floor, f0_ceil)
 
 
+def _refine_pallas_batchable(actual_fs, max_half, nb, f0_floor, f0_ceil,
+                             interpret=False):
+    """custom_vmap wrapper over the Pallas kernel: an utterance-batch axis is
+    folded into the frame-row axis B (utterance-major) and the SAME kernel
+    runs once over N*B rows.  This sidesteps pallas auto-batching (an extra
+    leading grid dim) and makes every batched row bitwise identical to its
+    single-stream result — rows are independent, so tile regrouping cannot
+    change the math."""
+    from jax.custom_batching import custom_vmap
+
+    statics = (actual_fs, max_half, nb, f0_floor, f0_ceil)
+
+    @custom_vmap
+    def fn(seg, phase, f0, basis):
+        return _refine_pallas(seg, phase, f0, basis, *statics,
+                              interpret=interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, seg, phase, f0, basis):
+        sb, pb, fb, bb = in_batched
+        if bb:  # basis is a static constant; any batch copies are identical
+            basis = basis[0]
+
+        def bcast(a, batched):
+            return a if batched else jnp.broadcast_to(
+                a[None], (axis_size,) + a.shape)
+
+        seg = bcast(seg, sb)
+        phase = bcast(phase, pb)
+        f0 = bcast(f0, fb)
+        N, B, W = seg.shape
+        C = f0.shape[1]
+        r, s = fn(seg.reshape(N * B, W), phase.reshape(N * B, W),
+                  jnp.moveaxis(f0, 0, 1).reshape(C, N * B), basis)
+        r = jnp.moveaxis(r.reshape(C, N, B), 1, 0)
+        s = jnp.moveaxis(s.reshape(C, N, B), 1, 0)
+        return (r, s), (True, True)
+
+    return fn
+
+
 def refine_full(seg, phase, f0, actual_fs, max_half, nb, f0_floor, f0_ceil):
     """(refined_f0, score) (C, B) for every (candidate, frame) — the full
     GetRefinedF0 grid (harvest.py:131-150) as one fused pass."""
@@ -250,5 +291,5 @@ def refine_full(seg, phase, f0, actual_fs, max_half, nb, f0_floor, f0_ceil):
     args = (float(actual_fs), int(max_half), int(nb), float(f0_floor),
             float(f0_ceil))
     if on_tpu():
-        return _refine_pallas(seg, phase, f0, basis, *args)
+        return _refine_pallas_batchable(*args)(seg, phase, f0, basis)
     return refine_full_xla(seg, phase, f0, basis, *args)
