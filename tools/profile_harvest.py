@@ -6,6 +6,9 @@ import numpy as np
 from scipy.io import wavfile
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 

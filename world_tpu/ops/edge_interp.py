@@ -2,30 +2,32 @@
 
 The XLA path (f0.events.batched_interval_interp) builds 9 dense
 "k-th previous / next crossing" arrays per signal row via blocked running-max
-scans — ~18 full-size HBM passes per call.  This module runs the pipeline as
-two small Pallas kernels plus a shared XLA tail:
+scans — ~18 full-size HBM passes per call.  This module runs the WHOLE
+pipeline as ONE Pallas kernel per (row-tile, full-length) VMEM tile:
 
-1. **chains kernel** — per (8-row, full-length) VMEM tile: crossing mask +
-   sub-sample edge positions -> 4 previous-edge + 5 next-edge running
-   max/min chains via log-doubling rolls, entirely in VMEM.  HBM sees the
-   signals once in and the 9 chains once out (the XLA scans re-read and
-   re-write them ~18 times).
+1. **chains** — crossing mask + sub-sample edge positions -> 4 previous-edge
+   + 5 next-edge running max/min chains via log-doubling rolls, entirely in
+   VMEM.
 
-2. **sampling kernel** — the chains must be read at the uniform frame grid
-   (rational stride ``pnum/qden`` samples per frame).  Mosaic cannot lower
-   the 2D->3D reshape a strided column-select needs, and a per-block unroll
-   of windowed dots blows up compile time, so the blocking happens in the
-   grid: with ``QB`` a multiple of ``qden``, consecutive QB-frame blocks
-   advance by exactly ``adv = QB*pnum/qden`` samples; XLA stacks the
-   (128-aligned) per-block chain windows once, and each grid step is ONE
-   (128, advp) x (advp, 2*QB) one-hot matmul against a host-precomputed
+2. **sampling** — the chains are read at the uniform frame grid (rational
+   stride ``pnum/qden`` samples per frame).  With ``QB`` a multiple of
+   ``qden``, consecutive QB-frame blocks advance by exactly
+   ``adv = QB*pnum/qden`` samples, so sampling block ``b`` is a STATIC
+   window slice of the packed chains followed by one
+   (NCH*blk, advp) x (advp, 2*QB) one-hot matmul against a host-precomputed
    selection matrix.  Missing edges travel through the matmul as finite
    +-1e30 sentinels (inf * 0 = nan would poison the dot; the 3-pass bf16
    decomposition in ops.dot_exact_b reconstructs every picked f32 value
    exactly) and are restored to +-inf afterwards.
 
-3. the interval selection / linear interp tail is shared with the XLA twin
-   (f0.events.interval_select) — bitwise the same arithmetic.
+3. **interval selection / linear interp** — same arithmetic as the XLA twin
+   (f0.events.interval_select), evaluated per block while the samples are
+   still in VMEM.
+
+Fusing all three stages means HBM only ever sees the input signals
+(~signal-size) and the per-frame interpolants (~rows x frames) — an earlier
+two-kernel split materialized every per-block chain window (~100x the
+input) between the kernels and was HBM-bound.
 
 Semantics match batched_interval_interp exactly (same chain reductions, same
 sampling indices ``floor(q*pnum/qden) - margin`` with edge clipping, same
@@ -115,15 +117,72 @@ def _cummax_2l(v, neg, col, col2, ext, expm, reverse=False):
     return jnp.maximum(v, _onehot_dot(pre, expm))
 
 
-def _chains_kernel(x_ref, extf_ref, extr_ref, expm_ref, out_ref, m_ref, *,
-                   nB, adv, advp):
-    """9 edge chains for a (BLK, n) tile, written directly as the sampling
-    kernel's (nB, NCH*BLK, advp) window blocks.  Each chain is left-padded
-    with two copies of its first value (the sampler's margin-2 / margin-1
-    left clip becomes a plain lookup) and right-edge-padded so window reads
-    past the end see the final chain value (the right clip)."""
+def _select_from_samples(full, tq, fs, blk, qb):
+    """Interval selection / linear interp (f0.events.interval_select,
+    restated over a 9-list) on one sampled block.
+
+    full: (NCH*blk, 2*qb) one-hot-matmul samples (prev chains valid in
+    columns [0:qb], next chains in [qb:2*qb]); tq: (1, qb).  Returns
+    (blk, qb) interpolated f0."""
+    dtype = full.dtype
+    pos_inf = jnp.asarray(np.inf, dtype)
+    neg_inf = jnp.asarray(-np.inf, dtype)
+    E = []
+    for c in range(_NCH):
+        sl = full[c * blk : (c + 1) * blk]
+        e = sl[:, :qb] if c < _N_PREV else sl[:, qb:]
+        e = jnp.where(e <= -1e29, neg_inf,
+                      jnp.where(e >= 1e29, pos_inf, e))  # sentinel -> inf
+        E.append(e)
+
+    T = tq * fs
+    valid = [jnp.isfinite(e) for e in E]
+    one = jnp.ones((), dtype)
+    mids, f0s, mid_valid = [], [], []
+    for i in range(_NCH - 1):
+        mids.append((E[i] + E[i + 1]) / 2.0)
+        d = E[i + 1] - E[i]
+        f0s.append(fs / jnp.where(d <= 0, one, d))
+        mid_valid.append(valid[i] & valid[i + 1])
+
+    def isum(parts):
+        acc = parts[0].astype(jnp.int32)
+        for p in parts[1:]:
+            acc = acc + p.astype(jnp.int32)
+        return acc
+
+    left_invalid = isum([~v for v in valid[:_N_PREV]])
+    v_count = isum(mid_valid)
+    raw_cnt = isum([mv & (m <= T) for mv, m in zip(mid_valid, mids)]) \
+        + left_invalid
+    hi_v = left_invalid + jnp.maximum(v_count, 2) - 1
+    j = jnp.clip(raw_cnt - 1, left_invalid, hi_v - 1)
+
+    def sel(parts, jj):
+        out = parts[0]
+        for i in range(1, len(parts)):
+            out = jnp.where(jj == i, parts[i], out)
+        return out
+
+    x0 = sel(mids, j) / fs
+    x1 = sel(mids, j + 1) / fs
+    y0 = sel(f0s, j)
+    y1 = sel(f0s, j + 1)
+    dx = x1 - x0
+    return y0 + (y1 - y0) / jnp.where(dx == 0, one, dx) * (tq - x0)
+
+
+def _event_kernel(x_ref, extf_ref, extr_ref, expm_ref, oh_ref, tq_ref,
+                  out_ref, m_ref, *, fs, nB, adv, advp):
+    """The full event engine for a (blk, n) signal tile: 9 edge chains, then
+    per frame-block one-hot sampling + interval interp, all in VMEM.  Each
+    chain is left-padded with two copies of its first value (the sampler's
+    margin-2 / margin-1 left clip becomes a plain lookup) and
+    right-edge-padded so window reads past the end see the final chain value
+    (the right clip)."""
     dtype = x_ref.dtype
-    x = x_ref[:]                                         # (BLK, n)
+    x = x_ref[:]                                         # (blk, n)
+    blk = x.shape[0]
     neg = jnp.asarray(-_BIG, dtype)
     pos = jnp.asarray(_BIG, dtype)
     x_next = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
@@ -160,70 +219,18 @@ def _chains_kernel(x_ref, extf_ref, extr_ref, expm_ref, out_ref, m_ref, *,
     lpad = max(0, (nB - 1) * adv + advp - L)
     packed = jnp.concatenate(
         [jnp.concatenate([ch[:, :1], ch[:, :1], ch], axis=1)
-         for ch in chains], axis=0)                      # (NCH*BLK, L)
+         for ch in chains], axis=0)                      # (NCH*blk, L)
     if lpad:
         packed = jnp.concatenate(
             [packed, jnp.broadcast_to(packed[:, -1:], (packed.shape[0],
                                                        lpad))], axis=1)
+    qb = out_ref.shape[2]
     for b in range(nB):
-        out_ref[b] = packed[:, b * adv : b * adv + advp]
+        win = packed[:, b * adv : b * adv + advp]        # static slice
+        full = dot_exact_b(win, oh_ref[b])               # (NCH*blk, 2*qb)
+        out_ref[b] = _select_from_samples(full, tq_ref[b, :1, :], fs, blk, qb)
     n_edges = jnp.sum(mask.astype(jnp.int32), axis=-1, keepdims=True)
     m_ref[:] = jnp.maximum(n_edges - 1, 0)
-
-
-def _select_kernel(win_ref, oh_ref, tq_ref, out_ref, *, fs, blk):
-    """One-hot-sample the 9 chains of a blk-signal-row group at QB frames,
-    then run the interval selection / interp (f0.events.interval_select,
-    restated over a 9-list) entirely in VMEM."""
-    dtype = win_ref.dtype
-    full = dot_exact_b(win_ref[0], oh_ref[0])            # (NCH*blk, 2*QB)
-    qb = out_ref.shape[2]
-    pos_inf = jnp.asarray(np.inf, dtype)
-    neg_inf = jnp.asarray(-np.inf, dtype)
-    E = []
-    for c in range(_NCH):
-        sl = full[c * blk : (c + 1) * blk]
-        e = sl[:, :qb] if c < _N_PREV else sl[:, qb:]
-        e = jnp.where(e <= -1e29, neg_inf,
-                      jnp.where(e >= 1e29, pos_inf, e))  # sentinel -> inf
-        E.append(e)
-
-    tq = tq_ref[0, :1, :]                                # (1, QB)
-    T = tq * fs
-    valid = [jnp.isfinite(e) for e in E]
-    one = jnp.ones((), dtype)
-    mids, f0s, mid_valid = [], [], []
-    for i in range(_NCH - 1):
-        mids.append((E[i] + E[i + 1]) / 2.0)
-        d = E[i + 1] - E[i]
-        f0s.append(fs / jnp.where(d <= 0, one, d))
-        mid_valid.append(valid[i] & valid[i + 1])
-
-    def isum(parts):
-        acc = parts[0].astype(jnp.int32)
-        for p in parts[1:]:
-            acc = acc + p.astype(jnp.int32)
-        return acc
-
-    left_invalid = isum([~v for v in valid[:_N_PREV]])
-    v_count = isum(mid_valid)
-    raw_cnt = isum([mv & (m <= T) for mv, m in zip(mid_valid, mids)]) \
-        + left_invalid
-    hi_v = left_invalid + jnp.maximum(v_count, 2) - 1
-    j = jnp.clip(raw_cnt - 1, left_invalid, hi_v - 1)
-
-    def sel(parts, jj):
-        out = parts[0]
-        for i in range(1, len(parts)):
-            out = jnp.where(jj == i, parts[i], out)
-        return out
-
-    x0 = sel(mids, j) / fs
-    x1 = sel(mids, j + 1) / fs
-    y0 = sel(f0s, j)
-    y1 = sel(f0s, j + 1)
-    dx = x1 - x0
-    out_ref[0] = y0 + (y1 - y0) / jnp.where(dx == 0, one, dx) * (tq - x0)
 
 
 def _selection_matrix(pnum, qden, Q, QB, adv, advp):
@@ -244,23 +251,24 @@ def _selection_matrix(pnum, qden, Q, QB, adv, advp):
     return oh
 
 
-def _vmem_estimate(blk, n, nB, advp, nb2):
-    """Conservative chains-kernel VMEM footprint (bytes): dense per-row
-    arrays + packed chains + double-buffered window block + bf16 one-hots.
-    Calibrated against Mosaic's reported stack size on the 4.6 s fixture
-    (BLK=16 -> 103.9M reported, 109M estimated)."""
+def _vmem_estimate(blk, n, nB, advp, nb2, qb):
+    """Conservative fused-kernel VMEM footprint (bytes): dense per-row
+    arrays + packed chains + the full bf16 selection matrix + per-block
+    sampling/selection temporaries."""
     dense = 14 * 4 * n * blk
     packed = _NCH * 4 * blk * (n + 2)
-    outblk = 2 * nB * _NCH * blk * advp * 4
+    oh = nB * advp * 2 * qb * 2
+    outblk = 2 * nB * blk * qb * 4
+    samp = 8 * _NCH * blk * 2 * qb * 4
     mats = 3 * n * nb2 * 2
-    return dense + packed + outblk + mats
+    return dense + packed + oh + outblk + samp + mats
 
 
-def _pick_blk(n, nB, advp, nb2):
+def _pick_blk(n, nB, advp, nb2, qb):
     """Largest tile height whose footprint fits v5e's 128M VMEM (with
     headroom); None -> caller should use the XLA path."""
     for blk in (16, 8):
-        if _vmem_estimate(blk, n, nB, advp, nb2) <= 115 * 2 ** 20:
+        if _vmem_estimate(blk, n, nB, advp, nb2, qb) <= 115 * 2 ** 20:
             return blk
     return None
 
@@ -275,7 +283,6 @@ def _interval_interp_pallas(x, tq, fs, pnum, qden, Q, blk=_BLK,
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
     Sp = S + pad
-    RB = _NCH * blk
 
     # QB a multiple of qden => consecutive QB-frame blocks advance by exactly
     # adv samples; each block reads a width-advp 128-aligned chain window
@@ -300,52 +307,39 @@ def _interval_interp_pallas(x, tq, fs, pnum, qden, Q, blk=_BLK,
     extr = jnp.asarray(extr_np, mdtype)
     expm = jnp.asarray(expm_np, mdtype)
 
-    chains_kernel = partial(_chains_kernel, nB=nB, adv=adv, advp=advp)
-    windows, m = pl.pallas_call(
-        chains_kernel,
+    mdt = jnp.bfloat16 if dtype == jnp.float32 else dtype
+    oh = jnp.asarray(_selection_matrix(pnum, qden, Q, QB, adv, advp),
+                     dtype=mdt)
+    # frame-grid blocks with replicated sublanes: (nB, 8, QB) keeps the
+    # block shape aligned for Mosaic
+    tq_b = jnp.broadcast_to(
+        jnp.pad(tq, (0, nB * QB - Q)).reshape(nB, 1, QB), (nB, 8, QB))
+    event_kernel = partial(_event_kernel, fs=fs, nB=nB, adv=adv, advp=advp)
+    sampled, m = pl.pallas_call(
+        event_kernel,
         grid=(Sp // blk,),
         in_specs=[
             pl.BlockSpec((blk, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, nb2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, nb2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nb2, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nB, advp, 2 * QB), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nB, 8, QB), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((nB, RB, advp), lambda i: (0, i, 0),
+            pl.BlockSpec((nB, blk, QB), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((nB, _NCH * Sp, advp), dtype),
+        out_shape=[jax.ShapeDtypeStruct((nB, Sp, QB), dtype),
                    jax.ShapeDtypeStruct((Sp, 1), jnp.int32)],
-        # the full-length chains + the (nB, 72, advp) window block top the
-        # default 16M scoped-vmem budget; v5e has 128M of VMEM
+        # full-length chains + the selection matrix top the default 16M
+        # scoped-vmem budget; v5e has 128M of VMEM
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
         interpret=interpret,
-    )(x, extf, extr, expm)
-
-    oh = jnp.asarray(_selection_matrix(pnum, qden, Q, QB, adv, advp),
-                     dtype=dtype)
-    # frame-grid blocks with replicated sublanes: (nB, 8, QB) keeps the
-    # block shape (1, 8, QB) aligned for Mosaic
-    tq_b = jnp.broadcast_to(
-        jnp.pad(tq, (0, nB * QB - Q)).reshape(nB, 1, QB), (nB, 8, QB))
-    select_kernel = partial(_select_kernel, fs=fs, blk=blk)
-    sampled = pl.pallas_call(
-        select_kernel,
-        grid=(nB, Sp // blk),
-        in_specs=[
-            pl.BlockSpec((1, RB, advp), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, advp, 2 * QB), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, QB), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, blk, QB), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nB, Sp, QB), dtype),
-        interpret=interpret,
-    )(windows, oh, tq_b)
+    )(x, extf, extr, expm, oh, tq_b)
 
     out = sampled.transpose(1, 0, 2).reshape(Sp, nB * QB)[:S, :Q]
     return out, m[:S, 0]
@@ -364,7 +358,7 @@ def interval_interp(signals, fs, t_frames, stride_samples: float):
         nB = -(-Q // QB)
         width = ((QB - 1) * pnum) // qden + 4
         advp = -(-width // 128) * 128
-        blk = _pick_blk(n, nB, advp, -(-n // _LB))
+        blk = _pick_blk(n, nB, advp, -(-n // _LB), QB)
         if blk is not None:
             return _interval_interp_pallas(signals, t_frames, float(fs),
                                            pnum, qden, Q, blk=blk)
