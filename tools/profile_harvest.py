@@ -60,17 +60,21 @@ def main():
     max_half = int(np.ceil(3 * actual_fs / f0_floor / 2))
     C2 = min(48, cands1.shape[0])
 
+    from world_tpu.dsp.scanops import count_less_rows, select_rows_small
+
+    C = cands1.shape[0]
+
     @jax.jit
     def compact_fn(cands1):
-        nz = cands1 != 0
-        rank = jnp.cumsum(nz, axis=0) - 1
-        s_ids = jnp.arange(C2)
-        sel = (rank[None] == s_ids[:, None, None]) & nz[None]
-        selF = sel.astype(cands1.dtype)
-        compact = jnp.einsum("cf,scf->sf", cands1, selF,
-                             preferred_element_type=cands1.dtype)
-        return compact, selF
-    compact, selF = timed(compact_fn, cands1, label="compaction")
+        nzT = (cands1 != 0).T
+        rankT = jnp.cumsum(nzT.astype(jnp.int32), axis=1)
+        pos = count_less_rows(rankT, jnp.arange(1, C2 + 1, dtype=jnp.int32))
+        slot_valid = jnp.arange(1, C2 + 1)[None, :] <= rankT[:, -1:]
+        compact = jnp.where(
+            slot_valid, select_rows_small(cands1.T, jnp.minimum(pos, C - 1)),
+            0.0).T
+        return compact, nzT, rankT
+    compact, nzT, rankT = timed(compact_fn, cands1, label="compaction")
 
     ref_fn = jax.jit(lambda y, compact: H.refine_candidates(
         y, actual_fs, basic_tp, compact, f0_floor, f0_ceil, max_half,
@@ -78,13 +82,14 @@ def main():
     ref_c, score_c = timed(ref_fn, y, compact, label="refine_candidates")
 
     @jax.jit
-    def scatter_fn(ref_c, score_c, selF):
-        c2 = jnp.einsum("sf,scf->cf", ref_c, selF,
-                        preferred_element_type=ref_c.dtype)
-        s2 = jnp.einsum("sf,scf->cf", score_c, selF,
-                        preferred_element_type=ref_c.dtype)
+    def scatter_fn(ref_c, score_c, nzT, rankT):
+        back_ok = nzT & (rankT <= C2)
+        slot_idx = jnp.clip(rankT - 1, 0, C2 - 1)
+        c2 = jnp.where(back_ok, select_rows_small(ref_c.T, slot_idx), 0.0).T
+        s2 = jnp.where(back_ok, select_rows_small(score_c.T, slot_idx), 0.0).T
         return c2, s2
-    cands2, scores2 = timed(scatter_fn, ref_c, score_c, selF, label="scatter-back")
+    cands2, scores2 = timed(scatter_fn, ref_c, score_c, nzT, rankT,
+                            label="scatter-back")
 
     ru_fn = jax.jit(H.remove_unreliable)
     cands3, scores3 = timed(ru_fn, cands2, scores2, label="remove_unreliable")

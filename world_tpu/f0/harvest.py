@@ -621,27 +621,40 @@ def _harvest_core(x, fs, f0_floor, f0_ceil, frame_period, max_candidates,
     cands1 = overlap_candidates(cands0, max_candidates)
     max_half = int(np.ceil(3 * actual_fs / f0_floor / 2))
     # compact the sparse candidate grid (typically <32 nonzero of 7*mc rows
-    # per frame) before the refinement fan-out; one-hot matmuls, no gathers
+    # per frame) before the refinement fan-out.  Pure rank-select (the s-th
+    # nonzero per frame via count_less + equality-masked select): exact value
+    # copies fused into reduces — no (C2, C, F) one-hot tensor, no matmul
+    from ..dsp.scanops import count_less_rows, select_rows_small
+
     C2 = min(48, cands1.shape[0])
-    nz = cands1 != 0
-    rank = jnp.cumsum(nz, axis=0) - 1
-    s_ids = jnp.arange(C2)
-    sel = (rank[None, :, :] == s_ids[:, None, None]) & nz[None, :, :]
-    selF = sel.astype(cands1.dtype)
-    compact = jnp.einsum("cf,scf->sf", cands1, selF,
-                         preferred_element_type=cands1.dtype,
-                         precision=jax.lax.Precision.HIGHEST)
+    C = cands1.shape[0]
+    nzT = (cands1 != 0).T                          # (F, C)
+    rankT = jnp.cumsum(nzT.astype(jnp.int32), axis=1)  # 1-based rank per row
+    pos = count_less_rows(rankT, jnp.arange(1, C2 + 1, dtype=jnp.int32))
+    slot_valid = jnp.arange(1, C2 + 1)[None, :] <= rankT[:, -1:]
+    compact = jnp.where(slot_valid,
+                        select_rows_small(cands1.T, jnp.minimum(pos, C - 1)),
+                        0.0).T                     # (C2, F)
     ref_c, score_c = refine_candidates(y, actual_fs, basic_tp, compact,
                                        f0_floor, f0_ceil, max_half,
                                        stride_samples=actual_fs * 0.001)
-    cands2 = jnp.einsum("sf,scf->cf", ref_c, selF,
-                        preferred_element_type=cands1.dtype,
-                         precision=jax.lax.Precision.HIGHEST)
-    scores2 = jnp.einsum("sf,scf->cf", score_c, selF,
-                         preferred_element_type=cands1.dtype,
-                         precision=jax.lax.Precision.HIGHEST)
-    refine_overflow = jnp.max(jnp.sum(nz, axis=0)) > C2
-    cands3, scores3 = remove_unreliable(cands2, scores2)
+    # All downstream consumers (remove_unreliable, search_f0_base, the
+    # SelectBestF0 reductions in fix_step3) treat a frame's candidate column
+    # as a MULTISET: the compact (C2, F) grid holds the same nonzeros in the
+    # same order and zeros behave identically (capped error 1, score 0), so
+    # the contour stages run on the 2x-smaller compact grid.  The full-shape
+    # (C, F) twins below exist only for stage-golden tests and are dead-code
+    # eliminated unless requested.
+    refine_overflow = jnp.max(rankT[:, -1]) > C2
+    cands3, scores3 = remove_unreliable(ref_c, score_c)
+
+    def scatter_back(sf):
+        back_ok = nzT & (rankT <= C2)
+        slot_idx = jnp.clip(rankT - 1, 0, C2 - 1)
+        return jnp.where(back_ok, select_rows_small(sf.T, slot_idx), 0.0).T
+
+    cands2 = scatter_back(ref_c)
+    scores2 = scatter_back(score_c)
 
     f0_base = search_f0_base(cands3, scores3)
     f0_step1 = fix_step1(f0_base, 0.008)
@@ -666,8 +679,8 @@ def _harvest_core(x, fs, f0_floor, f0_ceil, frame_period, max_candidates,
         "_cands_overlap": cands1,
         "_cands_refined": cands2,
         "_scores_refined": scores2,
-        "_cands_clean": cands3,
-        "_scores_clean": scores3,
+        "_cands_clean": scatter_back(cands3),
+        "_scores_clean": scatter_back(scores3),
         "_f0_base": f0_base,
         "_f0_step1": f0_step1,
         "_f0_step2": f0_step2,
