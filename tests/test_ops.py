@@ -67,6 +67,70 @@ def test_refine_dft_custom_vmap_folds_batch():
                                       np.asarray(want_sc))
 
 
+def test_refine_bucketed_matches_single_block():
+    """The f0-bucketed refinement fan-out must reproduce the single-bucket
+    result exactly: smaller bases share the bin angles (K/S == bins/fft) and
+    dropped columns are masked-zero window samples."""
+    from world_tpu.f0.harvest import (_bucket_caps, _refine_block,
+                                      _refine_bucketed)
+
+    rng = np.random.RandomState(11)
+    actual_fs = 7350.0
+    max_half = int(np.ceil(3 * actual_fs / 71.0 / 2))
+    W = 2 * max_half + 1
+    C2, F = 12, 300
+    assert len(_bucket_caps(max_half)) >= 3
+    seg = jnp.asarray(rng.randn(F, W))
+    t_c = jnp.asarray(np.arange(F) / 1000.0)
+    f0 = rng.rand(C2, F) * 720 + 75
+    f0[rng.rand(C2, F) < 0.5] = 0.0          # sparse slots
+    f0[0, :4] = 1e-12                        # degenerate rows stay masked
+    cands = jnp.asarray(f0)
+    want = _refine_block(seg, t_c, cands, actual_fs, 71.0, 800.0, max_half)
+    got = _refine_bucketed(seg, t_c, cands, actual_fs, 71.0, 800.0, max_half)
+    # exact on the MXU (sequential-K accumulation); the CPU dot may re-block
+    # the sum, so allow last-ulp noise here
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_refine_dft_pallas_at_bucket_shapes():
+    """The fused kernel must stay correct at every production bucket size
+    (the f0-bucketed fan-out instantiates it at shrinking (W, S); the full
+    size is covered by the golden e2e tests, the small ones only here)."""
+    from world_tpu.f0.harvest import _bucket_caps
+    from world_tpu.ops.refine_dft import (_refine_pallas, dft_basis,
+                                          refine_full_xla)
+
+    actual_fs = 7350.0
+    rng = np.random.RandomState(7)
+    full = int(np.ceil(3 * actual_fs / 71.0 / 2))
+    for cap in _bucket_caps(full):
+        W = 2 * cap + 1
+        S = int(2 ** np.ceil(np.log2(W) + 1))
+        nb = S // 2 + 1
+        C, B = 4, 150
+        # only candidates whose window fits this cap are routed to it
+        f0_min = 3.0 * actual_fs / (2.0 * cap)
+        seg = jnp.asarray(rng.randn(B, W))
+        phase = jnp.asarray(rng.randn(B, W) * 1e-3)
+        f0 = jnp.asarray(rng.rand(C, B) * (790 - f0_min) + f0_min)
+        f0 = f0.at[0, :6].set(1e-12)
+        basis = dft_basis(W, nb, seg.dtype)
+        got = _refine_pallas(seg, phase, f0, basis, actual_fs, cap, nb,
+                             71.0, 800.0, interpret=True)
+        want = refine_full_xla(seg, phase, f0, basis, actual_fs, cap, nb,
+                               71.0, 800.0)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                                   rtol=1e-9, atol=1e-12,
+                                   err_msg=f"cap={cap}")
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                                   rtol=1e-9, atol=1e-12,
+                                   err_msg=f"cap={cap}")
+
+
 def test_edge_interp_pallas_matches_xla():
     from fractions import Fraction
 

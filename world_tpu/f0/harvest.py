@@ -227,6 +227,73 @@ def _refine_block(seg, t_c, cands, actual_fs, f0_floor, f0_ceil, max_half: int):
                        f0_floor, f0_ceil)
 
 
+def _bucket_caps(max_half: int):
+    """Descending half-width caps whose DFT sizes shrink by 2 per step.
+
+    Every candidate fft_size is 2^ceil(log2(2*half+1)+1), so a candidate with
+    half <= cap fits a basis of size S(cap); the next cap is the largest half
+    whose fft still fits S(cap)/2."""
+    caps = [max_half]
+    while True:
+        S = int(2 ** np.ceil(np.log2(2 * caps[-1] + 1) + 1))
+        nxt = (S // 4 - 1) // 2
+        if nxt < 16 or nxt >= caps[-1]:
+            return caps
+        caps.append(nxt)
+
+
+def _refine_bucketed(seg, t_c, cands, actual_fs, f0_floor, f0_ceil,
+                     max_half: int):
+    """GetRefinedF0 fan-out split into f0 buckets of shrinking window/DFT
+    size.  High candidates only need short windows (half = ceil(3*fs/f0/2))
+    and small ffts; running them through the full-size basis wastes
+    W*S ~ 16x the flops for a 4x-smaller window.  Per bucket the candidates
+    re-compact into their own slot grid (rank-select, exact copies), the
+    shared frame segments take a static central slice, and the SAME kernel
+    runs at the bucket's native (W, S).  Results match the single-bucket
+    path bitwise on the MXU (basis angles depend only on K/S == bins/fft,
+    dropped columns multiply masked-zero window samples, and the sequential
+    K accumulation keeps the nonzero-term order); CPU dots may re-block the
+    sum by last-ulp amounts."""
+    from ..dsp.scanops import count_less_rows, select_rows_small
+
+    caps = _bucket_caps(max_half)
+    if len(caps) == 1:
+        return _refine_block(seg, t_c, cands, actual_fs, f0_floor, f0_ceil,
+                             max_half)
+    C2, F = cands.shape
+    # min f0 admitted to cap: ceil(3*fs/f0/2) <= cap, with a half-sample
+    # guard against f32 rounding at the boundary
+    thr = [3.0 * actual_fs / (2.0 * (c - 0.5)) for c in caps]
+    nz = cands > 0
+    ref_out = jnp.zeros_like(cands)
+    score_out = jnp.zeros_like(cands)
+    qk = jnp.arange(1, C2 + 1, dtype=jnp.int32)
+    for b, cap in enumerate(caps):
+        if b == 0:
+            memb = nz & (cands < thr[1])
+        elif b == len(caps) - 1:
+            memb = nz & (cands >= thr[b])
+        else:
+            memb = nz & (cands >= thr[b]) & (cands < thr[b + 1])
+        membT = memb.T
+        rank = jnp.cumsum(membT.astype(jnp.int32), axis=1)     # (F, C2)
+        pos = count_less_rows(rank, qk)
+        slot_valid = qk[None, :] <= rank[:, -1:]
+        comp = jnp.where(slot_valid,
+                         select_rows_small(cands.T, jnp.minimum(pos, C2 - 1)),
+                         0.0).T
+        seg_b = seg[:, max_half - cap : max_half + cap + 1]
+        r_b, s_b = _refine_block(seg_b, t_c, comp, actual_fs, f0_floor,
+                                 f0_ceil, cap)
+        idx = jnp.clip(rank - 1, 0, C2 - 1)
+        ref_out = ref_out + jnp.where(
+            membT, select_rows_small(r_b.T, idx), 0.0).T
+        score_out = score_out + jnp.where(
+            membT, select_rows_small(s_b.T, idx), 0.0).T
+    return ref_out, score_out
+
+
 def refine_candidates(y, actual_fs, temporal_positions, cands, f0_floor, f0_ceil,
                       max_half: int, stride_samples: float = None,
                       frame_chunk: int = 4096):
@@ -250,8 +317,8 @@ def refine_candidates(y, actual_fs, temporal_positions, cands, f0_floor, f0_ceil
     if F <= 2 * frame_chunk or frame_chunk <= 0:
         # single block: avoids the lax.map loop entirely (the loop's carried
         # output updates cost more than the block compute at this size)
-        return _refine_block(seg, temporal_positions, cands, actual_fs,
-                             f0_floor, f0_ceil, max_half)
+        return _refine_bucketed(seg, temporal_positions, cands, actual_fs,
+                                f0_floor, f0_ceil, max_half)
 
     pad = (-F) % frame_chunk
     tp_p = jnp.pad(temporal_positions, (0, pad))
@@ -264,8 +331,8 @@ def refine_candidates(y, actual_fs, temporal_positions, cands, f0_floor, f0_ceil
 
     def chunk_fn(args):
         t_c, sg_c, cd_c = args
-        return _refine_block(sg_c, t_c, cd_c, actual_fs, f0_floor, f0_ceil,
-                             max_half)
+        return _refine_bucketed(sg_c, t_c, cd_c, actual_fs, f0_floor, f0_ceil,
+                                max_half)
 
     ref, score = jax.lax.map(chunk_fn, (tp_b, seg_b, cd_b))
     ref = ref.transpose(1, 0, 2).reshape(C, F + pad)[:, :F]

@@ -136,11 +136,17 @@ def _kernel_body(seg_ref, phase_ref, f0, basis_ref, out_ref, *,
     mw, dw = _windows(phase_ref[:], f0, actual_fs, max_half, base_abs,
                       fast_cos=True)
     basis = basis_ref[:]
-    # Mosaic's DEFAULT f32 dot measured as accurate as HIGHEST here (F0
-    # RMSE 0.374 vs 0.378) and faster; a manual bf16 split is slower still
-    # (19.8 vs 27.9 ms for the whole stage)
-    spec_m = jnp.dot(seg * mw, basis, preferred_element_type=dtype)
-    spec_d = jnp.dot(seg * dw, basis, preferred_element_type=dtype)
+    # HIGHEST: the instantaneous-frequency numerator is a cancellation-prone
+    # difference of products, and with DEFAULT Mosaic picks per-shape f32
+    # algorithms — accurate at the full (W=313, S=1024) size but visibly
+    # lossy at the small bucketed sizes (vuv agreement collapsed 99.6->96.3%
+    # with DEFAULT bucket dots).  The f0-bucketing saves ~3x the flops, which
+    # more than pays for the exact f32 passes.
+    P = jax.lax.Precision.HIGHEST
+    spec_m = jnp.dot(seg * mw, basis, preferred_element_type=dtype,
+                     precision=P)
+    spec_d = jnp.dot(seg * dw, basis, preferred_element_type=dtype,
+                     precision=P)
 
     fft_size, n_harm, hmask, bins, _ = _harmonic_meta(f0, actual_fs, nb,
                                                       dtype)
