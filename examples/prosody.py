@@ -20,6 +20,12 @@ def main():
                     help="global pitch scale factor")
     ap.add_argument("--duration", type=float, default=None,
                     help="global duration scale factor")
+    ap.add_argument("--warp", type=float, nargs=4, default=None,
+                    metavar=("FROM1", "FROM2", "TO1", "TO2"),
+                    help="piecewise time warp: map times FROM1,FROM2 (s) to "
+                         "TO1,TO2 (s); pass TO2=-1 to keep the end time "
+                         "(the reference demo's disabled modify_duration "
+                         "branch, example/prosody.py:39-44)")
     ap.add_argument("--f0-method", default="harvest",
                     choices=["dio", "harvest", "swipe"])
     ap.add_argument("--classic", action="store_true",
@@ -38,6 +44,9 @@ def main():
         dat = vocoder.scale_pitch(dat, args.pitch)
     if args.duration:
         dat = vocoder.scale_duration(dat, args.duration)
+    if args.warp:
+        f1, f2, t1, t2 = args.warp
+        vocoder.modify_duration(dat, [f1, f2], [t1, t2])
 
     dat = vocoder.decode(dat)
     out_path = Path(args.wav).with_name(Path(args.wav).stem + "-resynth.wav")

@@ -1,11 +1,14 @@
 """Unit tests for the L0 DSP primitives against scipy/numpy ground truth."""
 import numpy as np
+import pytest
 import scipy.signal as ss
 from scipy.interpolate import interp1d
 
 import jax.numpy as jnp
 
 from world_tpu import dsp
+
+pytestmark = pytest.mark.smoke
 
 
 def test_round_matlab():

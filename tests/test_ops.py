@@ -4,8 +4,11 @@ The kernels run in interpreter mode here (tests run on the CPU backend);
 on TPU the same kernel code compiles via Mosaic.
 """
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
+
+pytestmark = pytest.mark.smoke
 
 
 def test_refine_dft_pallas_matches_xla():

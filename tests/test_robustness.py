@@ -1,0 +1,147 @@
+"""Capacity-overflow surfacing, long-audio blocking, and API robustness.
+
+The reference's candidate/section/pulse tables are unbounded Python lists
+(/root/reference/world/harvest.py:88-110, synthesis.py:128-131); ours are
+static.  These tests prove saturation is *surfaced*, never silent, and that
+the deliberate API divergences (encode_w_gvn_f0 fft_size default, requiem
+decode determinism) behave as documented.
+"""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+GOLDEN = Path(__file__).parent / "golden"
+
+
+@pytest.mark.smoke
+def test_fir_blocked_matches_single_shot():
+    """Blocked overlap-add FIR (the minutes-long-audio path) must equal the
+    one-shot im2col convolution, including across chunk joins."""
+    import jax.numpy as jnp
+
+    from world_tpu.dsp.fir import fir_bank_full
+
+    rng = np.random.RandomState(0)
+    y = jnp.asarray(rng.randn(5000))
+    bank = jnp.asarray(rng.randn(3, 101))
+    a = np.asarray(fir_bank_full(y, bank))
+    b = np.asarray(fir_bank_full(y, bank, block=512))
+    # block=512 with L=101: every chunk join exercised, incl. a ragged tail
+    assert a.shape == b.shape == (3, 5100)
+    np.testing.assert_allclose(b, a, atol=1e-12)
+
+
+@pytest.mark.smoke
+def test_encode_w_gvn_f0_floor_check_is_readable():
+    """f0 below 3*fs/fft_size raises ValueError (not a bare assert)."""
+    from world_tpu import World
+
+    source = {
+        "f0": np.full(9, 40.0),  # below 3*22050/1024 = 64.6 Hz
+        "vuv": np.ones(9),
+        "temporal_positions": np.arange(9) * 0.005,
+    }
+    with pytest.raises(ValueError, match="fft_size"):
+        World().encode_w_gvn_f0(22050, np.zeros(1000), source, fft_size=1024)
+
+
+def test_encode_w_gvn_f0_defaults_fft_size(mwm):
+    """fft_size=None must default to the CheapTrick size instead of crashing
+    (the reference divides by None at main.py:90 — deliberate divergence)."""
+    from world_tpu import World
+
+    fs, x = mwm
+    src = np.load(GOLDEN / "source_dio.npz")
+    source = {k: src[k] for k in src.files}
+    dat = World().encode_w_gvn_f0(fs, x, source, fft_size=None)
+    assert dat["spectrogram"].shape[0] == 513
+    assert dat["aperiodicity"].shape == dat["spectrogram"].shape
+    assert np.all(np.isfinite(dat["spectrogram"]))
+
+
+def test_synthesis_pulse_overflow_warns():
+    """An undersized pulse table must warn, not silently truncate."""
+    from world_tpu.synth.classic import synthesis
+
+    src = np.load(GOLDEN / "source_dio.npz")
+    ct = np.load(GOLDEN / "cheaptrick.npz")
+    d4 = np.load(GOLDEN / "d4c.npz")
+    dat = {
+        "f0": d4["f0_after_mutation"],
+        "vuv": src["vuv"],
+        "temporal_positions": src["temporal_positions"],
+        "spectrogram": ct["spectrogram"],
+        "aperiodicity": d4["aperiodicity"],
+        "fs": 22050,
+    }
+    with pytest.warns(RuntimeWarning, match="max_pulses"):
+        synthesis(dat, dat, max_pulses=64)
+
+
+def test_harvest_section_overflow_warns(mwm):
+    """An undersized section table must warn, not silently drop sections."""
+    from world_tpu.f0.harvest import harvest
+
+    fs, x = mwm
+    with pytest.warns(RuntimeWarning, match="max_sections"):
+        harvest(x[: x.shape[0] // 4], fs, max_sections=2)
+
+
+def test_requiem_decode_seed_and_offsets(mwm):
+    """decode(seed=, noise_offsets=) is deterministic per seed and varies
+    across seeds/offsets (the reference is nondeterministic every call,
+    main.py:205 — improved, not copied)."""
+    from world_tpu import World
+
+    g = np.load(GOLDEN / "d4c_requiem.npz")
+    s = np.load(GOLDEN / "source_harvest.npz")
+    ct = np.load(GOLDEN / "cheaptrick.npz")
+    n = len(s["f0"])
+    dat = {
+        "f0": s["f0"],
+        "vuv": s["vuv"],
+        "temporal_positions": s["temporal_positions"],
+        "spectrogram": ct["spectrogram"][:, :n] if ct["spectrogram"].shape[1] != n
+        else ct["spectrogram"],
+        "aperiodicity": g["band_aperiodicity"],
+        "fs": 22050,
+        "is_requiem": True,
+    }
+    w = World()
+    y0 = w.decode(dict(dat), seed=0)["out"]
+    y0b = w.decode(dict(dat), seed=0)["out"]
+    np.testing.assert_array_equal(y0, y0b)
+    y1 = w.decode(dict(dat), seed=1)["out"]
+    assert not np.allclose(y0, y1)
+    off = np.full(int(np.asarray(dat["aperiodicity"]).shape[0]), 1000,
+                  dtype=np.int32)
+    y2 = w.decode(dict(dat), seed=0, noise_offsets=off)["out"]
+    assert not np.allclose(y0, y2)
+
+
+def test_modify_duration_then_decode(mwm):
+    """modify_duration produces a non-uniform time grid; decode must handle
+    it (the reference demo's disabled branch, example/prosody.py:39-44)."""
+    from world_tpu import World
+
+    src = np.load(GOLDEN / "source_dio.npz")
+    ct = np.load(GOLDEN / "cheaptrick.npz")
+    d4 = np.load(GOLDEN / "d4c.npz")
+    dat = {
+        "f0": d4["f0_after_mutation"],
+        "vuv": src["vuv"],
+        "temporal_positions": src["temporal_positions"].copy(),
+        "spectrogram": ct["spectrogram"],
+        "aperiodicity": d4["aperiodicity"],
+        "fs": 22050,
+        "is_requiem": False,
+    }
+    w = World()
+    end = dat["temporal_positions"][-1]
+    w.modify_duration(dat, [1.0, end - 1.0], [0.7, -1])
+    tp = dat["temporal_positions"]
+    assert not np.allclose(np.diff(tp), np.diff(tp)[0])  # non-uniform now
+    out = w.decode(dat)["out"]
+    assert np.all(np.isfinite(out))
+    assert 0.001 < np.abs(out).max() <= 1.0

@@ -38,7 +38,7 @@ def test_pulse_positions_match(dat):
     tp = dat["temporal_positions"]
     y_len = len(np.arange(tp[0], tp[-1] + 1 / fs, 1 / fs))
     time_axis = jnp.arange(y_len, dtype=jnp.float64) / fs + tp[0]
-    pl, pli, shift, vuv_i, count = _time_base(
+    pl, pli, shift, vuv_i, count, _raw = _time_base(
         jnp.asarray(tp), jnp.asarray(dat["f0"]), jnp.asarray(dat["vuv"]),
         float(fs), time_axis, 500.0, 4096)
     cnt = int(count)

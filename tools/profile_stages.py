@@ -66,7 +66,7 @@ def main():
     noise_offsets = jnp.zeros(pulse.shape[1], jnp.int32)
     exc_fn = jax.jit(lambda tp, f0_d4c, vuv, bap, pulse, noise: _excitation_core(
         tp, f0_d4c, vuv, bap, pulse, noise, noise_offsets, fs, y_length,
-        max_pulses, 40, float(frame_period) / 1000.0))
+        max_pulses, 40, float(frame_period) / 1000.0)[0])
     excitation = timed(exc_fn, tp, f0_d4c, vuv, band_ap.T, pulse, noise,
                        label="excitation")
 

@@ -82,7 +82,21 @@ class World:
         })
 
     def encode_w_gvn_f0(self, fs, x, source, fft_size=None, is_requiem=False):
-        assert np.all(np.asarray(source["f0"]) >= 3 * fs / fft_size)
+        if fft_size is None:
+            # deliberate divergence: the reference crashes here on
+            # fft_size=None (main.py:90 divides by None); default to the
+            # CheapTrick size instead
+            from .spectral.cheaptrick import default_fft_size
+            fft_size = default_fft_size(fs)
+        f0 = np.asarray(source["f0"])
+        f0_floor = 3.0 * fs / fft_size
+        voiced = f0[f0 > 0]
+        if voiced.size and voiced.min() < f0_floor:
+            raise ValueError(
+                f"given f0 has voiced frames below the floor implied by "
+                f"fft_size={fft_size} (3*fs/fft_size = {f0_floor:.2f} Hz; "
+                f"min voiced f0 = {voiced.min():.2f} Hz); use a larger "
+                f"fft_size")
         filt = cheaptrick(x, fs, source, fft_size=fft_size)
         src2 = dict(source)
         src2["f0"] = filt["f0_effective"]  # the contract the reference's
@@ -169,13 +183,21 @@ class World:
         return dat
 
     # -------------------------------------------------------------- synthesis
-    def decode(self, dat, key=None):
-        """WORLD components -> waveform (main.py:198-214)."""
+    def decode(self, dat, key=None, seed=0, noise_offsets=None):
+        """WORLD components -> waveform (main.py:198-214).
+
+        ``key`` drives the classic path's noise; ``seed`` selects the requiem
+        excitation seed bank and ``noise_offsets`` (one int per band) the
+        velvet-noise read cursors.  The reference regenerates seeds
+        nondeterministically every call (main.py:205); here variation is
+        explicit and reproducible.
+        """
         if dat.get("is_requiem"):
             from .synth.requiem import synthesis_requiem
             from .synth.seeds import get_seeds_signals
-            seeds = get_seeds_signals(int(dat["fs"]))
-            y = synthesis_requiem(dat, dat, seeds)
+            seeds = get_seeds_signals(int(dat["fs"]), seed=seed)
+            y = synthesis_requiem(dat, dat, seeds,
+                                  noise_offsets=noise_offsets)
         else:
             y = synthesis(dat, dat, key=key)
         y = np.asarray(y)

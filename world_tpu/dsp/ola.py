@@ -61,8 +61,13 @@ def slotted_ola(resp, starts, y_length: int, slot: int = 32):
     sid = jnp.clip(sid, 0, n_slots)            # n_slots = trash slot
     s_ids = jnp.arange(n_slots + 1, dtype=sid.dtype)
     onehot = (s_ids[:, None] == sid[None, :]).astype(resp.dtype)
-    slotted = jnp.einsum("sp,pw->sw", onehot, shifted,
-                         preferred_element_type=resp.dtype)[: n_slots]
+    # onehot is 0/1 (exactly bf16-representable): dot_exact_b reproduces the
+    # full-f32 product in 3 single-pass bf16 dots — exact waveform samples
+    # at half the cost of a 6-pass HIGHEST dot (a DEFAULT dot here would
+    # truncate the responses to bf16 and put ~2^-8 noise in the output)
+    from ..ops import dot_exact_b
+
+    slotted = dot_exact_b(shifted.T, onehot.T).T[: n_slots]
     return uniform_ola(slotted, -base, slot, y_length)
 
 

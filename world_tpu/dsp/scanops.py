@@ -34,8 +34,12 @@ def matmul_cumsum(x, block: int = 256):
     nb = (n + pad) // block
     blocks = xp.reshape(x.shape[:-1] + (nb, block))
     tri = jnp.asarray(np.tril(np.ones((block, block))), dtype=x.dtype)
+    # HIGHEST: prefix sums feed threshold decisions (d4c cumulative power,
+    # candidate compaction); a DEFAULT bf16 pass here makes the batched
+    # (vmapped) program drift from the single-stream one
     within = jnp.einsum("...k,jk->...j", blocks, tri,
-                        preferred_element_type=x.dtype)
+                        preferred_element_type=x.dtype,
+                        precision=jax.lax.Precision.HIGHEST)
     block_tot = within[..., -1]
     offsets = jnp.cumsum(block_tot, axis=-1) - block_tot  # tiny: nb elements
     out = (within + offsets[..., None]).reshape(xp.shape)[..., :n]

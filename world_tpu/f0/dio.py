@@ -64,7 +64,8 @@ def _candidates_and_stability(y, actual_fs, f0_floor, f0_ceil, boundary_f0_list,
 
     bank, offsets = _band_bank(boundary_f0_list, actual_fs)
     y_len = y.shape[0]
-    conv = fir_bank_full(y, bank)
+    block = 16384 if y_len > 65536 else None
+    conv = fir_bank_full(y, bank, block=block)
     # per-band offsets are host-known -> static slices, no gather
     filtered = jnp.stack([conv[b, int(s) : int(s) + y_len]
                           for b, s in enumerate(offsets)])

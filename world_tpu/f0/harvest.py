@@ -93,7 +93,10 @@ def raw_band_candidates(y, actual_fs, boundary_f0_list, temporal_positions,
     del fft_size, band_chunk  # retained for API compat; unused in conv path
     bank, bias = _band_filter_bank(np.asarray(boundary_f0_list), actual_fs)
     y_len = y.shape[0]
-    conv = fir_bank_full(y, bank)                       # (B, y_len + L - 1)
+    # minutes-long audio: block the convolution (overlap-add scan) so the
+    # im2col column matrix stays O(block*L) instead of O(y_len*L)
+    block = 16384 if y_len > 65536 else None
+    conv = fir_bank_full(y, bank, block=block)          # (B, y_len + L - 1)
     # per-band offsets are host-known -> static slices, no gather
     filtered = jnp.stack([conv[b, int(s) : int(s) + y_len]
                           for b, s in enumerate(bias)])
@@ -694,8 +697,16 @@ def smooth_f0(f0, max_sections: int = 256, section_chunk: int = 32):
 # ---------------------------------------------------------------------------
 
 def harvest(x, fs, f0_floor=71, f0_ceil=800, frame_period=5,
-            max_candidates: int = None, max_sections: int = 256):
-    """Harvest F0 estimation (API mirrors harvest.py:17-54)."""
+            max_candidates: int = None, max_sections: int = 256,
+            check_capacity: bool = True):
+    """Harvest F0 estimation (API mirrors harvest.py:17-54).
+
+    ``check_capacity`` fetches the on-device overflow flags (one small host
+    sync) and warns if any static table (refinement slots, voiced-section
+    tables) saturated — the reference's tables are unbounded
+    (/root/reference/world/harvest.py:88-110), ours are static; saturation
+    would silently drop candidates/sections without this check.
+    """
     x = jnp.asarray(x)
     if max_candidates is None:
         # the reference's own cap: channels/10 rounded (harvest.py:90)
@@ -704,6 +715,21 @@ def harvest(x, fs, f0_floor=71, f0_ceil=800, frame_period=5,
     out = _harvest_core(x, int(fs), float(f0_floor), float(f0_ceil),
                         float(frame_period), int(max_candidates),
                         int(max_sections), x.shape[0])
+    if check_capacity:
+        import warnings
+
+        flags = np.asarray(jnp.stack([out["_refine_overflow"],
+                                      out["_section_overflow"]]))
+        if flags[0]:
+            warnings.warn(
+                "harvest: per-frame candidate count exceeded the refinement "
+                "slot capacity (48); some candidates were dropped — results "
+                "may degrade on this input", RuntimeWarning, stacklevel=2)
+        if flags[1]:
+            warnings.warn(
+                f"harvest: voiced-section count exceeded max_sections="
+                f"{max_sections}; extra sections were ignored — raise "
+                f"max_sections", RuntimeWarning, stacklevel=2)
     return {k: v for k, v in out.items()}
 
 
@@ -781,6 +807,16 @@ def _harvest_core(x, fs, f0_floor, f0_ceil, frame_period, max_candidates,
     vuv_full = jnp.where(f0_step4 != 0, 1.0, 0.0)
     smoothed = smooth_f0(f0_step4, max_sections=max_sections)
 
+    # capacity checks: number of voiced sections actually present at the two
+    # section-table consumers (fix_step3 input, smooth_f0 input); the static
+    # tables silently ignore sections past max_sections, so surface it
+    def _n_sections(f):
+        v = f != 0
+        return jnp.sum(v & ~jnp.concatenate([jnp.zeros(1, bool), v[:-1]]))
+
+    section_overflow = jnp.maximum(_n_sections(f0_step2),
+                                   _n_sections(f0_step4)) > max_sections
+
     out_samples = int(1000 * signal_length / fs / frame_period + 1)
     tp_out = jnp.asarray(np.arange(out_samples) * frame_period / 1000,
                          dtype=x.dtype)
@@ -804,4 +840,5 @@ def _harvest_core(x, fs, f0_floor, f0_ceil, frame_period, max_candidates,
         "_f0_step4": f0_step4,
         "_smoothed": smoothed,
         "_refine_overflow": refine_overflow,
+        "_section_overflow": section_overflow,
     }

@@ -29,8 +29,13 @@ def _dft_bins(segment, bins, fft_size):
     """
     n = jnp.arange(segment.shape[0], dtype=segment.dtype)
     theta = (-2.0 * jnp.pi / fft_size) * bins[:, None] * n[None, :]
-    re = jnp.cos(theta) @ segment
-    im = jnp.sin(theta) @ segment
+    # HIGHEST: the IF ratios feed a 20%-change rejection threshold
+    # (stonemask.py:25-26); a bf16 DEFAULT pass flips borderline frames
+    hp = jax.lax.Precision.HIGHEST
+    re = jnp.dot(jnp.cos(theta), segment, precision=hp,
+                 preferred_element_type=segment.dtype)
+    im = jnp.dot(jnp.sin(theta), segment, precision=hp,
+                 preferred_element_type=segment.dtype)
     return re, im
 
 

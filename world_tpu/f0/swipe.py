@@ -126,12 +126,16 @@ def _swipe_core(x, cfg, fs, t, sTHR):
         idx = starts[:, None] + np.arange(w)[None, :]
         frames = xzp[jnp.asarray(idx)] * jnp.asarray(oct_cfg["win"], dtype)
         X = jnp.abs(jnp.fft.rfft(frames, axis=-1))          # (frames, bins)
-        M = jnp.maximum(0.0, X @ jnp.asarray(oct_cfg["A"], dtype))  # ERB grid
+        hp = jax.lax.Precision.HIGHEST
+        M = jnp.maximum(0.0, jnp.dot(X, jnp.asarray(oct_cfg["A"], dtype),
+                                     precision=hp,
+                                     preferred_element_type=dtype))  # ERB grid
         L = jnp.sqrt(M)                                      # (frames, nERB)
         den = jnp.sqrt(jnp.sum(L * L, axis=1, keepdims=True))
         den = jnp.where(den == 0, 2.220446049250313e-16, den)
         Ln = L / den
-        Si = Ln @ jnp.asarray(oct_cfg["K"], dtype).T         # (frames, nCand_j)
+        Si = jnp.dot(Ln, jnp.asarray(oct_cfg["K"], dtype).T, precision=hp,
+                     preferred_element_type=dtype)           # (frames, nCand_j)
 
         # time interp (linear, NaN outside) from the shifted frame times
         # ti = [0, (arange(n_frames-1)*dn + w/2)/fs]  (swipe.py:37-39)

@@ -3,6 +3,7 @@
 API mirrors /root/reference/world/main.py:259-384 but the loops are batched
 jnp ops (MXU-friendly matmuls for the filterbank projections).
 """
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,7 +46,8 @@ def encode_lfbank(spec, prefac=0.97, fs=16000, nfilt=32, lowfreq=0, highfreq=Non
     spec = spec * h
     pspec = jnp.square(spec) / nfft
     fb = get_filterbanks(nfilt, nfft, fs, lowfreq, highfreq)
-    feat = pspec @ fb.T
+    feat = jnp.dot(pspec, fb.T, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=pspec.dtype)
     feat = jnp.where(feat == 0, jnp.finfo(jnp.float64).eps, feat)
     return jnp.log(feat)
 

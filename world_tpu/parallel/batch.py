@@ -20,10 +20,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..aperiodicity.common import d4c_fft_size
 from ..aperiodicity.d4c_requiem import _d4c_requiem_core
 from ..aperiodicity.d4c import _d4c_core
 from ..spectral.cheaptrick import _cheaptrick_core, default_fft_size
+from ..f0.dio import _dio_core
 from ..f0.harvest import _harvest_core
+from ..f0.stonemask import _stonemask_core
+from ..synth.classic import _synthesis_core
 from ..synth.requiem import _excitation_core, _waveform_core
 
 
@@ -53,13 +57,65 @@ def _encode_decode_one(x, pulse_seed, noise_seed, fs: int, frame_period: int,
     y_length = int(np.floor((int(1000 * sig_len / fs / frame_period + 1) - 1)
                             * frame_period / 1000 * fs)) + 1
     noise_offsets = jnp.zeros(pulse_seed.shape[1], jnp.int32)
-    excitation = _excitation_core(tp, f0_d4c, vuv, band_ap.T, pulse_seed,
-                                  noise_seed, noise_offsets, fs, y_length,
-                                  max_pulses, 40, float(frame_period) / 1000.0)
+    excitation, pulse_overflow = _excitation_core(
+        tp, f0_d4c, vuv, band_ap.T, pulse_seed, noise_seed, noise_offsets,
+        fs, y_length, max_pulses, 40, float(frame_period) / 1000.0)
     fps = int(frame_period / 1000 * fs)
     y = _waveform_core(excitation, env.T, tp, fs, fft_size, fps)
     return {"f0": f0_d4c, "vuv": vuv, "spectrogram": env,
-            "band_aperiodicity": band_ap, "y": y}
+            "band_aperiodicity": band_ap, "y": y,
+            "_overflow": (hv["_refine_overflow"] | hv["_section_overflow"]
+                          | pulse_overflow)}
+
+
+def _encode_classic_one(x, fs: int, frame_period: int):
+    """dio -> stonemask -> cheaptrick -> d4c for one utterance (the
+    reference's BASELINE config-1 path, main.py:126-130 + 138-146); pure
+    function of the signal, jit/vmap/pjit-friendly."""
+    sig_len = x.shape[0]
+    src = _dio_core(x, fs, 71.0, 800.0, 2, 4000, float(frame_period), 0.1,
+                    sig_len)
+    vuv, tp = src["vuv"], src["temporal_positions"]
+    max_half = int(np.ceil(3 * fs / 71.0 / 2))
+    refined = _stonemask_core(x, fs, tp, src["f0"], max_half)
+    f0 = jnp.where(src["f0"] != 0, refined, src["f0"])
+
+    fft_size = default_fft_size(fs)
+    fp_ms = float(frame_period)
+    f0_ct = jnp.where(vuv == 0, 500.0, f0)
+    env, _, f0_eff = _cheaptrick_core(x, fs, f0_ct, tp, fft_size, -0.15, fp_ms)
+    f0_d4c = jnp.where(vuv == 0, 0.0, f0_eff)
+    freq_interval = 2000.0 if fs < 16000 else 3000.0
+    n_ap = int(np.floor(min(15000, fs / 2 - freq_interval) / freq_interval))
+    ap, _, _ = _d4c_core(x, fs, f0_d4c, tp, d4c_fft_size(fs), fft_size,
+                         0.85, freq_interval, n_ap, fp_ms)
+    return {"f0": f0_d4c, "vuv": vuv, "temporal_positions": tp,
+            "spectrogram": env.T, "aperiodicity": ap.T}
+
+
+def _encode_decode_classic_one(x, key, fs: int, frame_period: int):
+    """Full classic round-trip (dio+stonemask encode -> classic pulse/noise
+    synthesis, synthesis.py:21-82) as one jittable program.  Static caps are
+    derived from the f0 ceiling (800 Hz) rather than the data so the whole
+    pipeline stays shape-static under jit/vmap."""
+    dat = _encode_classic_one(x, fs, frame_period)
+    sig_len = x.shape[0]
+    n_frames = int(1000 * sig_len / fs / frame_period + 1)
+    tp_last = (n_frames - 1) * frame_period / 1000.0
+    y_length = len(np.arange(0.0, tp_last + 1.0 / fs, 1.0 / fs))
+    fft_size = default_fft_size(fs)
+    f0_hi = 800.0 * 1.2  # static bound: dio clips candidates at f0_ceil
+    max_pulses = int(2 ** np.ceil(np.log2(np.ceil(tp_last * max(500.0, f0_hi))
+                                          + 8)))
+    max_noise = int(fs / 40) + 4
+    k_overlap = min(int(np.ceil(fft_size * 840.0 / fs / 8) + 1) * 8,
+                    max_pulses)
+    y, _overflow = _synthesis_core(
+        dat["f0"], dat["vuv"], dat["temporal_positions"], dat["spectrogram"],
+        dat["aperiodicity"], key, fs, y_length, fft_size, max_pulses,
+        max_noise, "gaussian", "standard", k_overlap,
+        float(frame_period) / 1000.0)
+    return dict(dat, y=y, _overflow=_overflow)
 
 
 def batch_encode_decode(xs, fs: int, mesh: Mesh = None, frame_period: int = 5,

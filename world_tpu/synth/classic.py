@@ -57,14 +57,15 @@ def _time_base(temporal_positions, f0, vuv, fs, time_axis, default_f0,
     mask = dwrap > wrap_threshold
     n = mask.shape[0]
     slot = jnp.where(mask, jnp.cumsum(mask) - 1, max_pulses)
-    count = jnp.minimum(jnp.sum(mask), max_pulses)
+    raw_count = jnp.sum(mask)
+    count = jnp.minimum(raw_count, max_pulses)
     pulse_locations = jnp.zeros(max_pulses, time_axis.dtype).at[slot].set(
         jnp.where(mask, time_axis[:-1], 0.0), mode="drop")
     pli = jnp.floor(pulse_locations * fs + 0.5).astype(jnp.int32) + 1
     y1 = jnp.take(wrap_phase, pli - 1) - 2.0 * jnp.pi
     y2 = jnp.take(wrap_phase, jnp.minimum(pli, n))
     shift = (-y1 / (y2 - y1)) / fs
-    return pulse_locations, pli, shift, vuv_interp, count
+    return pulse_locations, pli, shift, vuv_interp, count, raw_count
 
 
 @partial(jax.jit, static_argnames=("fs", "y_length", "fft_size", "max_pulses",
@@ -78,7 +79,7 @@ def _synthesis_core(f0, vuv, temporal_positions, spectrogram, aperiodicity,
     default_f0 = 500.0
     time_axis = jnp.arange(y_length, dtype=dtype) / fs + temporal_positions[0]
     wrap_threshold = jnp.pi if variant == "standard" else jnp.pi / 2
-    pulse_locations, pli, shifts, vuv_interp, count = _time_base(
+    pulse_locations, pli, shifts, vuv_interp, count, raw_count = _time_base(
         temporal_positions, f0, vuv, float(fs), time_axis, default_f0,
         max_pulses, wrap_threshold, frame_period_s)
     if variant == "a":  # synthesis_a: no fractional time shift
@@ -167,7 +168,8 @@ def _synthesis_core(f0, vuv, temporal_positions, spectrogram, aperiodicity,
                        y_length + fft_size + 2).astype(jnp.int32)
     from ..dsp.ola import slotted_ola
 
-    return slotted_ola(contributions, starts, y_length, slot=32)
+    return slotted_ola(contributions, starts, y_length, slot=32), \
+        raw_count > max_pulses
 
 
 def synthesis(source_object, filter_object, key=None, noise_mode="gaussian",
@@ -200,11 +202,19 @@ def synthesis(source_object, filter_object, key=None, noise_mode="gaussian",
     fp_ms = uniform_frame_period_ms(tp)
     fp_s = None if fp_ms is None else fp_ms / 1000.0
 
-    return _synthesis_core(
+    y, pulse_overflow = _synthesis_core(
         jnp.asarray(f0, spectrogram.dtype),
         jnp.asarray(vuv, spectrogram.dtype), jnp.asarray(tp, spectrogram.dtype),
         spectrogram, aperiodicity, key, fs, time_axis_len, fft_size,
         max_pulses, max_noise, noise_mode, variant, k_overlap, fp_s)
+    if bool(np.asarray(pulse_overflow)):
+        import warnings
+
+        warnings.warn(
+            f"synthesis: pulse count exceeded max_pulses={max_pulses}; "
+            f"trailing pulses were dropped — raise max_pulses",
+            RuntimeWarning, stacklevel=2)
+    return y
 
 
 def synthesis_a(source_object, filter_object, key=None, noise_mode="gaussian",

@@ -41,11 +41,12 @@ def _pulse_locations(temporal_positions, f0, vuv, fs, time_axis, max_pulses: int
     wrap = jnp.remainder(total_phase, 2 * jnp.pi)
     mask = jnp.abs(jnp.diff(wrap)) > jnp.pi
     slot = jnp.where(mask, jnp.cumsum(mask) - 1, max_pulses)
-    count = jnp.minimum(jnp.sum(mask), max_pulses)
+    raw_count = jnp.sum(mask)
+    count = jnp.minimum(raw_count, max_pulses)
     locs = jnp.zeros(max_pulses, time_axis.dtype).at[slot].set(
         jnp.where(mask, time_axis[:-1], 0.0), mode="drop")
     pli = jnp.floor(locs * fs + 0.5).astype(jnp.int32) + 1
-    return pli, count, vuv_i
+    return pli, count, vuv_i, raw_count
 
 
 @partial(jax.jit, static_argnames=("fs", "y_length", "max_pulses", "k_overlap",
@@ -57,8 +58,9 @@ def _excitation_core(temporal_positions, f0, vuv, band_ap_db, pulse_seed,
     fft_size = pulse_seed.shape[0]
     n_bands = pulse_seed.shape[1]
     time_axis = jnp.arange(y_length, dtype=dtype) / fs + temporal_positions[0]
-    pli, count, vuv_i = _pulse_locations(temporal_positions, f0, vuv, float(fs),
-                                         time_axis, max_pulses, frame_period_s)
+    pli, count, vuv_i, raw_count = _pulse_locations(
+        temporal_positions, f0, vuv, float(fs), time_axis, max_pulses,
+        frame_period_s)
 
     # band aperiodicity resampled to the sample grid (linear in 10^(dB/10))
     ap_lin = 10.0 ** (band_ap_db / 10.0)      # (bands, frames)
@@ -98,7 +100,7 @@ def _excitation_core(temporal_positions, f0, vuv, band_ap_db, pulse_seed,
     from ..dsp.ola import slotted_ola
 
     periodic = slotted_ola(responses, starts, y_length, slot=32)
-    return periodic + aperiodic
+    return periodic + aperiodic, raw_count > max_pulses
 
 
 @partial(jax.jit, static_argnames=("fs", "fft_size", "fps"))
@@ -153,10 +155,17 @@ def synthesis_requiem(source_object, filter_object, seeds_signals,
 
     fp_ms = uniform_frame_period_ms(tp)
     fp_s = None if fp_ms is None else fp_ms / 1000.0
-    excitation = _excitation_core(
+    excitation, pulse_overflow = _excitation_core(
         jnp.asarray(tp), jnp.asarray(f0), jnp.asarray(vuv), band_ap,
         pulse_seed, noise_seed, noise_offsets, fs, y_length, max_pulses,
         k_overlap, fp_s)
+    if bool(np.asarray(pulse_overflow)):
+        import warnings
+
+        warnings.warn(
+            f"synthesis_requiem: pulse count exceeded max_pulses="
+            f"{max_pulses}; trailing pulses were dropped — raise max_pulses",
+            RuntimeWarning, stacklevel=2)
     fft_size = (spectrogram.shape[0] - 1) * 2
     fps = int((tp[1] - tp[0]) * fs)
     return _waveform_core(excitation, spectrogram, jnp.asarray(tp), fs,
