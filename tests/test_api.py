@@ -106,6 +106,7 @@ def test_mcep_roundtrip_lsd():
     assert val < 8.0, f"MCEP-40 round-trip LSD {val} dB"
 
 
+@pytest.mark.slow
 def test_encode_16khz_matches_reference():
     """Full harvest+requiem encode at 16 kHz: different static band counts,
     FFT sizes and aperiodicity shapes than the 22.05 kHz fixture."""

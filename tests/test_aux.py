@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_batch_encode_decode_multichip_cpu():
     import jax
 

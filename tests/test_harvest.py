@@ -1,8 +1,15 @@
-"""Golden parity tests for the Harvest F0 estimator, stage by stage."""
+"""Golden parity tests for the Harvest F0 estimator, stage by stage.
+
+Slow tier: running the TPU-shaped harvest program on the XLA CPU backend
+costs ~8 min compile + ~8 min f64 run on a 1-core box (the dense
+(candidate x frame) refinement fan-out is MXU-shaped compute).  Run with
+``pytest -m slow``."""
 from pathlib import Path
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 
 GOLDEN = Path(__file__).parent / "golden"
 
@@ -12,7 +19,8 @@ def hv(mwm):
     from world_tpu.f0.harvest import harvest
 
     fs, x = mwm
-    return {k: np.asarray(v) for k, v in harvest(x, fs).items()}
+    return {k: np.asarray(v)
+            for k, v in harvest(x, fs, debug_outputs=True).items()}
 
 
 @pytest.fixture(scope="module")
@@ -29,6 +37,12 @@ def test_downsample_matches(mwm, g):
     ref = g["y_decimated"]
     assert y.shape == ref.shape
     np.testing.assert_allclose(np.asarray(y), ref, atol=1e-12)
+
+
+def test_no_capacity_overflow_on_fixture(hv):
+    """The static tables must hold the canonical fixture with headroom."""
+    assert not bool(hv["_refine_overflow"])
+    assert not bool(hv["_section_overflow"])
 
 
 def test_raw_candidates_match(hv, g):

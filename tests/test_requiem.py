@@ -91,6 +91,7 @@ def test_seed_generation_statistics():
     np.testing.assert_allclose(e_m, e_r, rtol=0.25)
 
 
+@pytest.mark.slow
 def test_end_to_end_requiem_api(mwm):
     from world_tpu import World
 

@@ -60,32 +60,67 @@ def test_encode_w_gvn_f0_defaults_fft_size(mwm):
     assert np.all(np.isfinite(dat["spectrogram"]))
 
 
-def test_synthesis_pulse_overflow_warns():
-    """An undersized pulse table must warn, not silently truncate."""
-    from world_tpu.synth.classic import synthesis
+@pytest.mark.smoke
+def test_synthesis_pulse_overflow_warns(monkeypatch):
+    """An undersized pulse table must warn, not silently truncate.
 
-    src = np.load(GOLDEN / "source_dio.npz")
-    ct = np.load(GOLDEN / "cheaptrick.npz")
-    d4 = np.load(GOLDEN / "d4c.npz")
-    dat = {
-        "f0": d4["f0_after_mutation"],
-        "vuv": src["vuv"],
-        "temporal_positions": src["temporal_positions"],
-        "spectrogram": ct["spectrogram"],
-        "aperiodicity": d4["aperiodicity"],
-        "fs": 22050,
-    }
+    The overflow *detection* (raw pulse count vs the static table) is
+    checked against _time_base directly on a tiny contour; the warn plumbing
+    is checked by stubbing the synthesis core (compiling a full synthesis
+    program with a tiny max_pulses would cost minutes of suite time for the
+    same coverage)."""
+    import jax
+    import jax.numpy as jnp
+
+    from world_tpu.synth import classic
+
+    # 1 s of 200 Hz voiced speech -> ~200 pulses; cap at 8
+    fs = 8000.0
+    tp = jnp.asarray(np.arange(201) * 0.005)
+    f0 = jnp.full(201, 200.0)
+    vuv = jnp.ones(201)
+    time_axis = jnp.arange(8001) / fs
+    max_pulses = 8
+    *_, count, raw_count = classic._time_base(
+        tp, f0, vuv, fs, time_axis, 500.0, max_pulses, np.pi, 0.005)
+    assert int(raw_count) > max_pulses
+    assert int(count) == max_pulses
+
+    calls = {}
+
+    def stub_core(*args, **kwargs):
+        calls["hit"] = True
+        return jnp.zeros(16), jnp.asarray(True)
+
+    monkeypatch.setattr(classic, "_synthesis_core", stub_core)
+    dat = {"f0": np.full(9, 100.0), "vuv": np.ones(9),
+           "temporal_positions": np.arange(9) * 0.005,
+           "spectrogram": np.ones((513, 9)),
+           "aperiodicity": np.full((513, 9), 0.5), "fs": 22050}
     with pytest.warns(RuntimeWarning, match="max_pulses"):
-        synthesis(dat, dat, max_pulses=64)
+        classic.synthesis(dat, dat, max_pulses=64)
+    assert calls["hit"]
 
 
-def test_harvest_section_overflow_warns(mwm):
-    """An undersized section table must warn, not silently drop sections."""
-    from world_tpu.f0.harvest import harvest
+@pytest.mark.smoke
+def test_harvest_capacity_warnings():
+    """Static-table saturation must warn, never silently truncate.
 
-    fs, x = mwm
+    The flag *computation* lives in _harvest_core (exercised by the golden
+    runs, which assert no overflow on the fixture); here the warn surface is
+    driven directly so the suite does not pay a fresh multi-minute pipeline
+    compile for a tiny-cap configuration."""
+    from world_tpu.f0.harvest import _warn_capacity
+
+    with pytest.warns(RuntimeWarning, match="refinement"):
+        _warn_capacity(True, False, 256)
     with pytest.warns(RuntimeWarning, match="max_sections"):
-        harvest(x[: x.shape[0] // 4], fs, max_sections=2)
+        _warn_capacity(False, True, 2)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        _warn_capacity(False, False, 256)  # no warning
 
 
 def test_requiem_decode_seed_and_offsets(mwm):

@@ -160,18 +160,29 @@ class World:
         return dat
 
     def modify_duration(self, dat, from_time, to_time):
-        """Piecewise-linear time warping (main.py:180-189)."""
+        """Piecewise-linear time warping (main.py:180-189).
+
+        Deliberate divergence: the reference pads ``from_time`` with the
+        endpoints but not ``to_time``, so its ``np.interp`` call crashes on
+        a length mismatch (main.py:186-189; its only caller is disabled,
+        example/prosody.py:39-44).  Here the anchors are 0 -> 0, each
+        ``from_time[i]`` -> ``to_time[i]`` (a trailing ``-1`` means "the
+        original end time"), and the warp continues at unit rate after the
+        last anchor.
+        """
         tp = np.asarray(dat["temporal_positions"])
         end = tp[-1]
-        assert np.all(np.diff(from_time)) > 0
-        assert np.all(np.diff(to_time)) > 0
-        assert from_time[0] > 0
-        assert from_time[-1] < end
-        from_time = np.r_[0, from_time, end]
+        from_time = np.asarray(from_time, dtype=np.float64)
         to_time = np.asarray(to_time, dtype=np.float64)
         if to_time[-1] == -1:
             to_time[-1] = end
-        dat["temporal_positions"] = np.interp(tp, from_time, to_time)
+        assert np.all(np.diff(from_time) > 0)
+        assert np.all(np.diff(to_time) > 0)
+        assert from_time[0] > 0 and to_time[0] > 0
+        assert from_time[-1] < end
+        xp = np.r_[0.0, from_time, end]
+        fp = np.r_[0.0, to_time, to_time[-1] + (end - from_time[-1])]
+        dat["temporal_positions"] = np.interp(tp, xp, fp)
 
     def warp_spectrum(self, dat, factor):
         """Frequency-warp each frame's envelope (main.py:191-196)."""

@@ -698,7 +698,7 @@ def smooth_f0(f0, max_sections: int = 256, section_chunk: int = 32):
 
 def harvest(x, fs, f0_floor=71, f0_ceil=800, frame_period=5,
             max_candidates: int = None, max_sections: int = 256,
-            check_capacity: bool = True):
+            check_capacity: bool = True, debug_outputs: bool = False):
     """Harvest F0 estimation (API mirrors harvest.py:17-54).
 
     ``check_capacity`` fetches the on-device overflow flags (one small host
@@ -714,30 +714,41 @@ def harvest(x, fs, f0_floor=71, f0_ceil=800, frame_period=5,
         max_candidates = int(n_bands / 10 + 0.5)
     out = _harvest_core(x, int(fs), float(f0_floor), float(f0_ceil),
                         float(frame_period), int(max_candidates),
-                        int(max_sections), x.shape[0])
+                        int(max_sections), x.shape[0],
+                        debug_outputs=debug_outputs)
     if check_capacity:
-        import warnings
-
-        flags = np.asarray(jnp.stack([out["_refine_overflow"],
-                                      out["_section_overflow"]]))
-        if flags[0]:
-            warnings.warn(
-                "harvest: per-frame candidate count exceeded the refinement "
-                "slot capacity (48); some candidates were dropped — results "
-                "may degrade on this input", RuntimeWarning, stacklevel=2)
-        if flags[1]:
-            warnings.warn(
-                f"harvest: voiced-section count exceeded max_sections="
-                f"{max_sections}; extra sections were ignored — raise "
-                f"max_sections", RuntimeWarning, stacklevel=2)
+        _warn_capacity(out["_refine_overflow"], out["_section_overflow"],
+                       max_sections)
     return {k: v for k, v in out.items()}
+
+
+def _warn_capacity(refine_overflow, section_overflow, max_sections):
+    """Surface static-table saturation (one small host sync for the flags)."""
+    import warnings
+
+    flags = np.asarray(jnp.stack([jnp.asarray(refine_overflow),
+                                  jnp.asarray(section_overflow)]))
+    if flags[0]:
+        warnings.warn(
+            "harvest: per-frame candidate count exceeded the refinement "
+            "slot capacity (48); some candidates were dropped — results "
+            "may degrade on this input", RuntimeWarning, stacklevel=3)
+    if flags[1]:
+        warnings.warn(
+            f"harvest: voiced-section count exceeded max_sections="
+            f"{max_sections}; extra sections were ignored — raise "
+            f"max_sections", RuntimeWarning, stacklevel=3)
 
 
 @partial(jax.jit, static_argnames=("fs", "f0_floor", "f0_ceil", "frame_period",
                                    "max_candidates", "max_sections",
-                                   "signal_length"))
+                                   "signal_length", "debug_outputs"))
 def _harvest_core(x, fs, f0_floor, f0_ceil, frame_period, max_candidates,
-                  max_sections, signal_length):
+                  max_sections, signal_length, debug_outputs=False):
+    """debug_outputs=True additionally returns every stage intermediate for
+    the stage-golden tests; production callers leave it False so XLA
+    dead-code-eliminates the full-shape scatter-backs and skips the
+    device->host transfers of the (C, F) debug tensors."""
     target_fs = 8000
     basic_frame_period = 1
     num_samples = int(1000 * signal_length / fs / basic_frame_period + 1)
@@ -795,9 +806,6 @@ def _harvest_core(x, fs, f0_floor, f0_ceil, frame_period, max_candidates,
         slot_idx = jnp.clip(rankT - 1, 0, C2 - 1)
         return jnp.where(back_ok, select_rows_small(sf.T, slot_idx), 0.0).T
 
-    cands2 = scatter_back(ref_c)
-    scores2 = scatter_back(score_c)
-
     f0_base = search_f0_base(cands3, scores3)
     f0_step1 = fix_step1(f0_base, 0.008)
     f0_step2 = fix_step2(f0_step1, 6)
@@ -822,23 +830,27 @@ def _harvest_core(x, fs, f0_floor, f0_ceil, frame_period, max_candidates,
                          dtype=x.dtype)
     idx = jnp.minimum(smoothed.shape[0] - 1,
                       matlab_round_half(tp_out * 1000)).astype(jnp.int32)
-    return {
+    out = {
         "temporal_positions": tp_out,
         "f0": jnp.take(smoothed, idx),
         "vuv": jnp.take(vuv_full, idx),
-        "_raw_candidates": raw,
-        "_cands_detected": cands0,
-        "_cands_overlap": cands1,
-        "_cands_refined": cands2,
-        "_scores_refined": scores2,
-        "_cands_clean": scatter_back(cands3),
-        "_scores_clean": scatter_back(scores3),
-        "_f0_base": f0_base,
-        "_f0_step1": f0_step1,
-        "_f0_step2": f0_step2,
-        "_f0_step3": f0_step3,
-        "_f0_step4": f0_step4,
-        "_smoothed": smoothed,
         "_refine_overflow": refine_overflow,
         "_section_overflow": section_overflow,
     }
+    if debug_outputs:
+        out.update({
+            "_raw_candidates": raw,
+            "_cands_detected": cands0,
+            "_cands_overlap": cands1,
+            "_cands_refined": scatter_back(ref_c),
+            "_scores_refined": scatter_back(score_c),
+            "_cands_clean": scatter_back(cands3),
+            "_scores_clean": scatter_back(scores3),
+            "_f0_base": f0_base,
+            "_f0_step1": f0_step1,
+            "_f0_step2": f0_step2,
+            "_f0_step3": f0_step3,
+            "_f0_step4": f0_step4,
+            "_smoothed": smoothed,
+        })
+    return out

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..dsp import fftmm
 from ..dsp.windows import np_hanning_matlab
 
 
@@ -125,7 +126,9 @@ def _swipe_core(x, cfg, fs, t, sTHR):
         starts = np.arange(n_frames) * dn
         idx = starts[:, None] + np.arange(w)[None, :]
         frames = xzp[jnp.asarray(idx)] * jnp.asarray(oct_cfg["win"], dtype)
-        X = jnp.abs(jnp.fft.rfft(frames, axis=-1))          # (frames, bins)
+        # window sizes are powers of two -> Cooley-Tukey matmul rFFT on TPU
+        # (stock jnp.fft.rfft measured ~100x off roofline there, dsp/fftmm.py)
+        X = jnp.abs(fftmm.rfft(frames))                     # (frames, bins)
         hp = jax.lax.Precision.HIGHEST
         M = jnp.maximum(0.0, jnp.dot(X, jnp.asarray(oct_cfg["A"], dtype),
                                      precision=hp,
@@ -151,7 +154,12 @@ def _swipe_core(x, cfg, fs, t, sTHR):
         Si_t = jnp.where(outside[:, None], jnp.nan, Si_t)    # (n_t, nCand_j)
 
         contribution = jnp.asarray(oct_cfg["mu"], dtype)[:, None] * Si_t.T
-        S = S.at[jnp.asarray(oct_cfg["j"])].add(contribution)
+        # the candidate subsets j are contiguous ranges (interval conditions
+        # on the monotone octave distance d, swipe.py:45-62) -> a static
+        # slice-add instead of a gather/scatter pair
+        j = np.asarray(oct_cfg["j"])
+        assert np.array_equal(j, np.arange(j[0], j[0] + len(j))), j
+        S = S.at[int(j[0]) : int(j[0]) + len(j)].add(contribution)
 
     # parabolic fine-tuning on the log-spaced grid (swipe.py:64-93)
     s_max = jnp.max(S, axis=0)
