@@ -32,6 +32,45 @@ def test_fir_blocked_matches_single_shot():
     np.testing.assert_allclose(b, a, atol=1e-12)
 
 
+def test_band_chunked_candidates_match_unchunked():
+    """The lax.map band-chunked candidate path (minutes-long-audio memory
+    bound) must reproduce the all-bands path, including ragged tail chunks
+    and the padded zero-filter rows."""
+    import jax.numpy as jnp
+
+    from world_tpu.f0.harvest import downsample, raw_band_candidates
+
+    fs = 22050
+    rng = np.random.RandomState(0)
+    t = np.arange(fs) / fs  # 1 s
+    x = np.sin(2 * np.pi * 160 * t) + 0.3 * np.sin(2 * np.pi * 320 * t)
+    x += 0.01 * rng.randn(fs)
+    y, afs = downsample(jnp.asarray(x), fs, 8000)
+    n_frames = int(1000 * len(x) / fs + 1)
+    tp = jnp.asarray(np.arange(n_frames) / 1000)
+    adj_f, adj_c = 71 * 0.9, 800 * 1.1
+    bfl = adj_f * 2.0 ** (
+        (np.arange(np.ceil(np.log2(adj_c / adj_f) * 40)) + 1) / 40)
+    a = np.asarray(raw_band_candidates(y, afs, bfl, tp, 71, 800, 0, 0))
+    # 152 bands / chunk 48 -> 4 chunks with a 40-row padded tail
+    b = np.asarray(raw_band_candidates(y, afs, bfl, tp, 71, 800, 0, 0,
+                                       band_chunk=48))
+    assert a.shape == b.shape == (152, n_frames)
+    np.testing.assert_allclose(b, a, atol=1e-9)
+
+
+@pytest.mark.smoke
+def test_harvest_adaptive_max_sections():
+    """max_sections=None scales with signal length (a 60 s input needs
+    ~1400 pre-merge section slots; a fixed 256 truncated voicing past
+    ~11 s on the 60 s glide probe)."""
+    from world_tpu.f0.harvest import default_max_sections
+
+    assert default_max_sections(22050, 22050) == 256        # 1 s -> floor
+    assert default_max_sections(102400, 22050) == 256       # fixture -> floor
+    assert default_max_sections(60 * 22050, 22050) > 1500   # 60 s -> scaled
+
+
 @pytest.mark.smoke
 def test_encode_w_gvn_f0_floor_check_is_readable():
     """f0 below 3*fs/fft_size raises ValueError (not a bare assert)."""

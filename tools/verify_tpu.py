@@ -68,6 +68,51 @@ def main():
     check("swipe voiced fraction sane", 0.2 < float(np.mean(f0s > 0)) < 0.95,
           f"({float(np.mean(f0s > 0)):.2f})")
 
+    # --- batched-vs-single decision noise (22.05 k + 16 k) --------------
+    # Root cause of any drift: FMA-contraction differences in the
+    # decimator's associative scan between the (n,) and (B, n) programs
+    # (dsp/iir.py::linear_recurrence).  The bound below is the decision-
+    # noise envelope: no vuv flips beyond 0.5%, <=1% of frames >0.5 Hz,
+    # and the batched row must meet the same reference-golden bar.
+    from world_tpu.parallel.batch import _encode_decode_one
+    from world_tpu.synth.seeds import get_seeds_signals
+
+    def batched_noise_check(tag, fs2, x2, gf0, gvuv2):
+        seeds2 = get_seeds_signals(int(fs2))
+        p2 = jnp.asarray(np.asarray(seeds2["pulse"], np.float32))
+        n2 = jnp.asarray(np.asarray(seeds2["noise"], np.float32))
+        n_bands = int(np.ceil(np.log2((800 * 1.1) / (71 * 0.9)) * 40))
+        mc = int(n_bands / 10 + 0.5)
+
+        def one(xi):
+            return _encode_decode_one(xi, p2, n2, fs=int(fs2),
+                                      frame_period=5, max_pulses=8192,
+                                      max_candidates=mc, max_sections=256)
+
+        xj2 = jnp.asarray(x2)
+        f0_s = np.asarray(jax.jit(one)(xj2)["f0"], np.float64)
+        xb = jnp.asarray(np.stack([np.asarray(x2)] * 4))
+        f0_b = np.asarray(jax.jit(jax.vmap(one))(xb)["f0"][0], np.float64)
+        flips = float(np.mean((f0_s > 0) != (f0_b > 0)))
+        big = float(np.mean(np.abs(f0_s - f0_b) > 0.5))
+        check(f"{tag} batched vuv flips <= 0.5%", flips <= 0.005,
+              f"({100*flips:.2f}%)")
+        check(f"{tag} batched frames>0.5Hz <= 1%", big <= 0.01,
+              f"({100*big:.2f}%)")
+        vb, gv = f0_b > 0, np.asarray(gvuv2) > 0.5
+        both_b = vb & gv
+        agree_b = float(np.mean(vb == gv))
+        rmse_b = float(np.sqrt(np.mean((f0_b[both_b]
+                                        - np.asarray(gf0)[both_b]) ** 2)))
+        check(f"{tag} batched meets golden bar", agree_b > 0.99
+              and rmse_b < 1.0, f"(agree {agree_b:.4f}, rmse {rmse_b:.3f})")
+
+    batched_noise_check("22k", fs, x, g["f0"], g["vuv"])
+    g16 = np.load("/root/repo/tests/golden/harvest_16k.npz")
+    batched_noise_check("16k", int(g16["fs"]),
+                        np.asarray(g16["x16"], np.float32),
+                        g16["f0"], g16["vuv"])
+
     # --- tiny / degenerate inputs --------------------------------------
     short = x[: int(0.2 * fs)]
     dat_s = w.encode(fs, short, f0_method="harvest", is_requiem=True)

@@ -26,6 +26,20 @@ def linear_recurrence(A, bx, s0=None):
     The associative-scan elements are kept as k*k+k SEPARATE (..., n) arrays
     (scan axis minor-most): packing the tiny state dims into trailing matrix
     dims would make the TPU (8,128) tiling pad them ~40x.
+
+    Reproducibility note (the root cause of batched-vs-single-stream f0
+    decision noise, measured round 2): the compose's mul-add chains are
+    elementwise, and XLA contracts them into FMAs differently for the (n,)
+    and (B, n) programs — the axon TPU terminal pins
+    ``--xla_allow_excess_precision=true``, so this is environment-forced.
+    The result is ~1-ulp (#~6e-8) drift on the filtered signal between a
+    vmapped run and a single-stream run, which can flip zero crossings that
+    sit within 1 ulp of 0 and hence perturb a handful of f0 candidates.
+    Every *dot* in the pipeline is exact or HIGHEST-pinned (dsp.fir,
+    ops.dot_exact_b, dsp.scanops); this elementwise contraction is the one
+    remaining — and uncontrollable — source.  Correctness is therefore
+    gated against the f64 reference goldens (bench.py, tools/verify_tpu.py),
+    not bitwise against the single-stream program.
     """
     bx = jnp.asarray(bx)
     n, k = bx.shape[-2], bx.shape[-1]

@@ -85,30 +85,63 @@ def raw_band_candidates(y, actual_fs, boundary_f0_list, temporal_positions,
     linear convolution but XLA's large 1-D FFTs are ~100x slower on TPU than
     this MXU formulation.  Events/interp run batched over all bands
     (f0.events).
+
+    ``band_chunk``: if set, process the band axis in lax.map chunks of that
+    many bands.  Bands are independent, so this bounds live HBM at
+    O(band_chunk * y_len) instead of O(n_bands * y_len) — required for
+    minutes-long audio (at 60 s the all-bands event tensor alone is ~28 GB
+    of temps, past a v5e's 16 GB HBM).
     """
     from .events import four_event_interp
     from ..dsp.fir import fir_bank_full
-    from ..dsp.scanops import take_rows
 
-    del fft_size, band_chunk  # retained for API compat; unused in conv path
+    del fft_size, capacity  # retained for API compat; unused in conv path
     bank, bias = _band_filter_bank(np.asarray(boundary_f0_list), actual_fs)
+    bf_np = np.asarray(boundary_f0_list, dtype=np.float64)
+    n_bands = bank.shape[0]
     y_len = y.shape[0]
     # minutes-long audio: block the convolution (overlap-add scan) so the
     # im2col column matrix stays O(block*L) instead of O(y_len*L)
     block = 16384 if y_len > 65536 else None
-    conv = fir_bank_full(y, bank, block=block)          # (B, y_len + L - 1)
-    # per-band offsets are host-known -> static slices, no gather
-    filtered = jnp.stack([conv[b, int(s) : int(s) + y_len]
-                          for b, s in enumerate(bias)])
-
-    del capacity
     stride = actual_fs * 0.001  # 1 ms basic frame grid
-    f0c, _, usable = four_event_interp(filtered, actual_fs, temporal_positions,
-                                       stride)
-    bf = jnp.asarray(boundary_f0_list, dtype=y.dtype)[:, None]
-    bad = ((f0c > bf * 1.1) | (f0c < bf * 0.9)
-           | (f0c > f0_ceil) | (f0c < f0_floor))
-    return jnp.where(bad, 0.0, f0c)
+
+    def postprocess(f0c, bf_rows):
+        bad = ((f0c > bf_rows[:, None] * 1.1) | (f0c < bf_rows[:, None] * 0.9)
+               | (f0c > f0_ceil) | (f0c < f0_floor))
+        return jnp.where(bad, 0.0, f0c)
+
+    if band_chunk is None or n_bands <= band_chunk:
+        conv = fir_bank_full(y, bank, block=block)      # (B, y_len + L - 1)
+        # per-band offsets are host-known -> static slices, no gather
+        filtered = jnp.stack([conv[b, int(s) : int(s) + y_len]
+                              for b, s in enumerate(bias)])
+        f0c, _, _ = four_event_interp(filtered, actual_fs,
+                                      temporal_positions, stride)
+        return postprocess(f0c, jnp.asarray(bf_np, dtype=y.dtype))
+
+    pad = (-n_bands) % band_chunk
+    n_chunks = (n_bands + pad) // band_chunk
+    bank_p = np.pad(bank, ((0, pad), (0, 0)))
+    bias_p = np.pad(bias, (0, pad))
+    # padded rows: zero filter -> zero signal -> <3 events -> f0c = 0, and
+    # bf=1 forces the range check to zero them regardless; rows are dropped
+    bf_p = np.pad(bf_np, (0, pad), constant_values=1.0)
+
+    def one_chunk(args):
+        bank_c, bias_c, bf_c = args
+        conv = fir_bank_full(y, bank_c, block=block)
+        filtered = jax.vmap(
+            lambda row, s: jax.lax.dynamic_slice(row, (s,), (y_len,)))(
+                conv, bias_c)
+        f0c, _, _ = four_event_interp(filtered, actual_fs,
+                                      temporal_positions, stride)
+        return postprocess(f0c, bf_c)
+
+    chunks = jax.lax.map(one_chunk, (
+        jnp.asarray(bank_p.reshape(n_chunks, band_chunk, -1), dtype=y.dtype),
+        jnp.asarray(bias_p.reshape(n_chunks, band_chunk), dtype=jnp.int32),
+        jnp.asarray(bf_p.reshape(n_chunks, band_chunk), dtype=y.dtype)))
+    return chunks.reshape(n_chunks * band_chunk, -1)[:n_bands]
 
 
 # ---------------------------------------------------------------------------
@@ -696,8 +729,19 @@ def smooth_f0(f0, max_sections: int = 256, section_chunk: int = 32):
 # public entry
 # ---------------------------------------------------------------------------
 
+def default_max_sections(signal_length: int, fs) -> int:
+    """Voiced-section table size scaled to the 1 ms basic frame count.
+
+    Pre-merge sections can fragment to ~25/s on noisy inputs (measured on a
+    60 s glide, where a fixed 256 saturated by ~11 s and zeroed all later
+    voicing); floor at 256 so short inputs (incl. the 4.64 s golden fixture)
+    keep the round-1 table shape.  Saturation still warns (_warn_capacity)."""
+    num_samples = int(1000 * signal_length / fs + 1)
+    return max(256, num_samples // 32 + 64)
+
+
 def harvest(x, fs, f0_floor=71, f0_ceil=800, frame_period=5,
-            max_candidates: int = None, max_sections: int = 256,
+            max_candidates: int = None, max_sections: int = None,
             check_capacity: bool = True, debug_outputs: bool = False):
     """Harvest F0 estimation (API mirrors harvest.py:17-54).
 
@@ -712,6 +756,8 @@ def harvest(x, fs, f0_floor=71, f0_ceil=800, frame_period=5,
         # the reference's own cap: channels/10 rounded (harvest.py:90)
         n_bands = int(np.ceil(np.log2((f0_ceil * 1.1) / (f0_floor * 0.9)) * 40))
         max_candidates = int(n_bands / 10 + 0.5)
+    if max_sections is None:
+        max_sections = default_max_sections(x.shape[0], fs)
     out = _harvest_core(x, int(fs), float(f0_floor), float(f0_ceil),
                         float(frame_period), int(max_candidates),
                         int(max_sections), x.shape[0],
@@ -768,8 +814,12 @@ def _harvest_core(x, fs, f0_floor, f0_ceil, frame_period, max_candidates,
     duration = y_len / actual_fs
     capacity = int(duration * boundary_f0_list[-1] * 1.5) + 64
 
+    # past ~27 s of audio the all-bands event tensors outgrow HBM; chunk the
+    # (independent) band axis so live memory stays O(band_chunk * y_len)
+    band_chunk = 32 if y_len > 200_000 else None
     raw = raw_band_candidates(y, actual_fs, boundary_f0_list, basic_tp,
-                              f0_floor, f0_ceil, fft_size, capacity)
+                              f0_floor, f0_ceil, fft_size, capacity,
+                              band_chunk=band_chunk)
     cands0, n_detected = detect_candidates(raw, max_candidates)
     cands1 = overlap_candidates(cands0, max_candidates)
     max_half = int(np.ceil(3 * actual_fs / f0_floor / 2))
