@@ -212,6 +212,71 @@ def gen_harvest():
     return dict(f0=f0_out, vuv=vuv_out, temporal_positions=temporal_positions)
 
 
+def gen_harvest_small():
+    """1 s @ 16 kHz small-fixture harvest golden for the DEFAULT pytest tier.
+
+    The full-fixture parity suite lives in the slow tier (~8 min XLA-CPU
+    compile per program on a 1-core box); this clip keeps a cold default run
+    exercising _harvest_core end-to-end.  Input: the first second of the
+    16 kHz resampled fixture already committed in harvest_16k.npz."""
+    ref_shim.reference_world()
+    from world import harvest as H
+
+    ref_shim.sequential_refine(H)
+    g16 = np.load(GOLDEN / "harvest_16k.npz")
+    fs = int(g16["fs"])
+    assert fs == 16000, fs
+    x = np.asarray(g16["x16"], np.float64)[:fs]  # first 1.0 s
+    t0 = time.time()
+    f0_floor, f0_ceil, frame_period = 71, 800, 5
+    basic_temporal_positions = np.arange(
+        0, int(1000 * len(x) / fs + 1)) / 1000
+    adj_floor, adj_ceil = f0_floor * 0.9, f0_ceil * 1.1
+    boundary_f0_list = np.arange(
+        np.ceil(np.log2(adj_ceil / adj_floor) * 40)) + 1
+    boundary_f0_list = adj_floor * 2.0 ** (boundary_f0_list / 40)
+    y, actual_fs = H.CalculateDownsampledSignal(x, fs, 8000)
+    fft_size = int(2 ** np.ceil(np.log2(
+        len(y) + int(fs / adj_floor * 4 + 0.5) + 1)))
+    y_spectrum = np.fft.fft(y, fft_size)
+    raw = H.CalculateCandidates(len(basic_temporal_positions),
+                                boundary_f0_list, len(y),
+                                basic_temporal_positions, actual_fs,
+                                y_spectrum, f0_floor, f0_ceil)
+    f0_candidates0, number_of_candidates = H.DetectCandidates(raw)
+    f0_candidates1 = H.OverlapF0Candidates(f0_candidates0,
+                                           number_of_candidates)
+    f0_candidates2, f0_scores2 = H.RefineCandidates(
+        y, actual_fs, basic_temporal_positions, f0_candidates1,
+        f0_floor, f0_ceil)
+    f0_candidates3, f0_scores3 = H.RemoveUnreliableCandidates(
+        f0_candidates2, f0_scores2)
+    f0_base = H.SearchF0Base(f0_candidates3, f0_scores3)
+    f0_step1 = H.FixStep1(f0_base, 0.008)
+    f0_step2 = H.FixStep2(f0_step1, 6)
+    f0_step3 = H.FixStep3(f0_step2, f0_candidates3, 0.18, f0_scores3)
+    f0_step4 = H.FixStep4(f0_step3, 9)
+    vuv = np.copy(f0_step4)
+    vuv[vuv != 0] = 1
+    smoothed_f0 = H.SmoothF0(f0_step4)
+    temporal_positions = np.arange(
+        0, int(1000 * len(x) / fs / frame_period + 1)) * frame_period / 1000
+    idx = np.minimum(len(smoothed_f0) - 1,
+                     H.round_matlab(temporal_positions * 1000)).astype(int)
+    f0_out = smoothed_f0[idx]
+    vuv_out = vuv[idx]
+    print(f"harvest_small done in {time.time()-t0:.1f}s; "
+          f"voiced {int(vuv_out.sum())}/{len(vuv_out)}, "
+          f"ncand={number_of_candidates}")
+    np.savez_compressed(
+        GOLDEN / "harvest_small.npz", fs=fs, x=x,
+        n_detected=number_of_candidates,
+        f0_candidates_refined=f0_candidates2, f0_scores_refined=f0_scores2,
+        f0_base=f0_base, f0_step2=f0_step2, f0_step4=f0_step4,
+        smoothed_f0=smoothed_f0, temporal_positions=temporal_positions,
+        f0=f0_out, vuv=vuv_out)
+
+
 def gen_requiem(source):
     ref_shim.reference_world()
     import random as pyrandom
@@ -261,6 +326,8 @@ def main():
     if which in ("harvest", "all"):
         hv = gen_harvest()
         np.savez_compressed(GOLDEN / "source_harvest.npz", **hv)
+    if which in ("harvest_small", "all"):
+        gen_harvest_small()
     if which in ("requiem", "all"):
         g = np.load(GOLDEN / "source_harvest.npz")
         gen_requiem({k: g[k] for k in g.files})
