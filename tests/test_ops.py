@@ -203,3 +203,31 @@ def test_edge_interp_pallas_f32_split_dot_exact():
     np.testing.assert_allclose(np.where(both_nan, 0.0, gf),
                                np.where(both_nan, 0.0, wf),
                                rtol=5e-5, atol=1e-6)
+
+
+def test_prod_diff_compensated_f32():
+    """ops.prod_diff must beat naive f32 a*b-c*d by >=100x on cancellation-
+    heavy inputs and pass through f64 untouched (the CPU golden path)."""
+    import jax
+
+    from world_tpu.ops import prod_diff
+
+    rng = np.random.RandomState(0)
+    a64 = rng.randn(50000) * 10
+    b64 = rng.randn(50000) * 10
+    c64 = a64 * (1 + rng.randn(50000) * 1e-6)
+    d64 = b64 * (1 + rng.randn(50000) * 1e-6)
+    a, b, c, d = (jnp.asarray(v, jnp.float32) for v in (a64, b64, c64, d64))
+    exact = (np.asarray(a, np.float64) * np.asarray(b, np.float64)
+             - np.asarray(c, np.float64) * np.asarray(d, np.float64))
+    scale = np.abs(a64 * b64) + 1e-30
+    naive = np.asarray(jax.jit(lambda a, b, c, d: a * b - c * d)(a, b, c, d))
+    comp = np.asarray(jax.jit(prod_diff)(a, b, c, d))
+    err_naive = np.max(np.abs(naive - exact) / scale)
+    err_comp = np.max(np.abs(comp - exact) / scale)
+    assert err_comp * 100 < err_naive, (err_comp, err_naive)
+
+    a, b, c, d = (jnp.asarray(v) for v in (a64, b64, c64, d64))
+    want = np.asarray(jax.jit(lambda a, b, c, d: a * b - c * d)(a, b, c, d))
+    got = np.asarray(jax.jit(prod_diff)(a, b, c, d))
+    assert np.array_equal(want, got)

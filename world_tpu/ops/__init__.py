@@ -64,6 +64,42 @@ def dot_3pass(a, b):
             + jax.lax.dot(a_lo, b_hi, preferred_element_type=f32, precision=P))
 
 
+def prod_diff(a, b, c, d):
+    """Compensated ``a*b - c*d`` for f32 (identity for other dtypes).
+
+    The instantaneous-frequency numerator ``re_s*im_d - im_s*re_d``
+    (reference GetRefinedF0, /root/reference/world/harvest.py:194-207) is a
+    cancellation-prone difference of products: naive f32 leaves ~2^-24
+    relative noise OF THE PRODUCTS, which near-ties in the candidate scores
+    turn into argmax flips (whole spurious voiced sections at 16 kHz).
+
+    Exact 3-term bf16 splits (``_split3_f32``) make every pairwise partial
+    product exact in f32 (8+8 mantissa bits < 24), so the only rounding is
+    in the 9 pair differences and their small-first summation — total error
+    ~2^-32 of the product magnitude, ~256x tighter than the naive form.
+    bf16 casts also cannot be contracted away by --xla_allow_excess_precision
+    (unlike a Veltkamp split, whose mul/sub pattern XLA may FMA-fuse)."""
+    import jax.numpy as jnp
+
+    if a.dtype != jnp.float32:
+        return a * b - c * d
+    f32 = jnp.float32
+    sa, sb = _split3_f32(a), _split3_f32(b)
+    sc, sd = _split3_f32(c), _split3_f32(d)
+    # pair differences by split level; sum smallest-magnitude level first
+    levels = {}
+    for i in range(3):
+        for j in range(3):
+            t = (sa[i].astype(f32) * sb[j].astype(f32)
+                 - sc[i].astype(f32) * sd[j].astype(f32))
+            levels.setdefault(i + j, []).append(t)
+    acc = None
+    for k in sorted(levels, reverse=True):
+        for t in levels[k]:
+            acc = t if acc is None else acc + t
+    return acc
+
+
 def cos_bounded(u):
     """cos(u) for |u| <= ~1.1*pi as a degree-12 even polynomial
     (max abs err 1.3e-7 — f32 ulp scale).

@@ -23,7 +23,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import on_tpu
+from . import on_tpu, prod_diff
 
 _BLK = 128
 
@@ -75,7 +75,9 @@ def _refine_math(picked, bins, fft_size, f0, hmask, n_harm, harmonics,
     dtype = picked.dtype
     re_s, im_s = picked[..., 0, :], picked[..., 1, :]
     re_d, im_d = picked[..., 2, :], picked[..., 3, :]
-    numerator = re_s * im_d - im_s * re_d
+    # compensated in f32: near-tied candidate scores must not flip on
+    # numerator cancellation noise (see ops.prod_diff)
+    numerator = prod_diff(re_s, im_d, im_s, re_d)
     power = re_s ** 2 + im_s ** 2
     inst_freq = (bins / fft_size[..., None]
                  + numerator / jnp.maximum(power, jnp.finfo(dtype).tiny)
@@ -164,7 +166,7 @@ def _kernel_body(seg_ref, phase_ref, f0, basis_ref, out_ref, *,
         im_s = jnp.sum(oh * spec_m[:, nb:], axis=1)
         re_d = jnp.sum(oh * spec_d[:, :nb], axis=1)
         im_d = jnp.sum(oh * spec_d[:, nb:], axis=1)
-        numerator = re_s * im_d - im_s * re_d
+        numerator = prod_diff(re_s, im_d, im_s, re_d)
         power = re_s * re_s + im_s * im_s
         inst = (bins[:, h] / fft_size
                 + numerator / jnp.maximum(power, tiny) / 2 / jnp.pi
