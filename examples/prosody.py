@@ -23,7 +23,8 @@ def main():
     ap.add_argument("--warp", type=float, nargs=4, default=None,
                     metavar=("FROM1", "FROM2", "TO1", "TO2"),
                     help="piecewise time warp: map times FROM1,FROM2 (s) to "
-                         "TO1,TO2 (s); pass TO2=-1 to keep the end time "
+                         "TO1,TO2 (s); pass TO2=-1 to pin FROM2 to itself "
+                         "and preserve the total duration "
                          "(the reference demo's disabled modify_duration "
                          "branch, example/prosody.py:39-44)")
     ap.add_argument("--f0-method", default="harvest",

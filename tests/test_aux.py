@@ -60,6 +60,45 @@ def test_frame_sharded_cheaptrick_collective():
     assert np.isfinite(float(tot))
 
 
+def test_warn_batch_capacity_plumbing():
+    """The batch path must surface per-utterance overflow flags as the same
+    RuntimeWarning the single-utterance harvest()/decode() raise (the real
+    saturating program runs in the slow tier below — compile cost)."""
+    import warnings
+
+    from world_tpu.parallel.batch import _warn_batch_capacity
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        _warn_batch_capacity(np.array([False, False]), 256, 512)
+    assert not rec
+    with pytest.warns(RuntimeWarning, match=r"utterance\(s\) \[1, 3\]"):
+        _warn_batch_capacity(np.array([False, True, False, True]), 4, 256)
+
+
+@pytest.mark.slow
+def test_batch_encode_decode_overflow_warns_end_to_end():
+    """A real batched program whose voiced-section table genuinely saturates:
+    three tone bursts -> >=3 sections vs max_sections=2 (tiny shapes keep the
+    XLA-CPU compile affordable)."""
+    from world_tpu.parallel.batch import batch_encode_decode
+
+    fs, n = 12000, 3072
+    rng = np.random.RandomState(0)
+    t = np.arange(n) / fs
+    # noise floor keeps RemoveUnreliableCandidates from wiping the bursts
+    # (on a pure stationary tone the reference itself keeps ~2 frames)
+    x = np.sin(2 * np.pi * 150 * t) + 0.01 * rng.randn(n)
+    gate = np.zeros(n)
+    for s in (0.0, 0.09, 0.18):  # three ~60 ms bursts
+        gate[int(s * fs): int((s + 0.06) * fs)] = 1.0
+    xs = np.stack([x * gate, x * gate * 0.5]).astype(np.float32)
+    with pytest.warns(RuntimeWarning, match="saturated for utterance"):
+        out = batch_encode_decode(xs, fs, frame_period=10, max_pulses=256,
+                                  max_candidates=8, max_sections=2)
+    assert np.all(np.isfinite(np.asarray(out["y"])))
+
+
 def test_save_load_roundtrip(tmp_path):
     from world_tpu import World
 

@@ -59,6 +59,31 @@ def test_band_chunked_candidates_match_unchunked():
     np.testing.assert_allclose(b, a, atol=1e-9)
 
 
+def test_smooth_f0_section_chunked_matches_single_block():
+    """smooth_f0's lax.scan section chunking (memory bound for minutes-long
+    audio: a dense (max_sections, n) row matrix is O(n^2/32) with the
+    adaptive table) must be BITWISE identical to the single-block path —
+    sections are disjoint, so the blockwise accumulation adds only zeros."""
+    import jax.numpy as jnp
+
+    from world_tpu.f0.harvest import smooth_f0
+
+    rng = np.random.RandomState(0)
+    f0 = np.zeros(4000)
+    st = 5
+    for _ in range(37):  # 37 sections of random length/gap
+        ln = rng.randint(3, 120)
+        f0[st: st + ln] = 100 + 50 * rng.rand()
+        st += ln + rng.randint(2, 40)
+        if st >= len(f0) - 5:
+            break
+    f0 = jnp.asarray(f0)
+    one = np.asarray(smooth_f0(f0, max_sections=64, section_chunk=64))
+    chunked = np.asarray(smooth_f0(f0, max_sections=64, section_chunk=16))
+    # 64 sections / chunk 16 -> 4 scan steps, incl. invalid padded rows
+    assert np.array_equal(one, chunked)
+
+
 @pytest.mark.smoke
 def test_harvest_adaptive_max_sections():
     """max_sections=None scales with signal length (a 60 s input needs
@@ -142,6 +167,100 @@ def test_synthesis_pulse_overflow_warns(monkeypatch):
 
 
 @pytest.mark.smoke
+def test_synthesis_pulse_overflow_real_program():
+    """A REAL classic-synthesis program whose pulse table genuinely
+    saturates, end-to-end: 0.5 s of 150 Hz voiced speech (~75 pulses) vs
+    max_pulses=32.  The warning must fire AND the (truncated) output must
+    stay finite — the reference's pulse list is unbounded
+    (/root/reference/world/synthesis.py:128-131); ours is static.  Tiny
+    shapes (fs=8000, fft_size=512) keep the compile to seconds."""
+    from world_tpu.synth.classic import synthesis
+
+    fs, nf = 8000, 101  # 0.5 s at 5 ms frames
+    rng = np.random.RandomState(0)
+    spec = np.abs(rng.randn(257, nf)) * 1e-4 + 1e-6
+    dat = {"f0": np.full(nf, 150.0), "vuv": np.ones(nf),
+           "temporal_positions": np.arange(nf) * 0.005,
+           "spectrogram": spec,
+           "aperiodicity": np.full((257, nf), 0.1), "fs": fs}
+    with pytest.warns(RuntimeWarning, match="max_pulses"):
+        y = synthesis(dat, dat, max_pulses=32)
+    y = np.asarray(y)
+    # reference time base: arange(tp[0], tp[-1] + 1/fs, 1/fs) -> n+2 samples
+    assert y.shape[0] == int(0.5 * fs) + 2
+    assert np.all(np.isfinite(y))
+    assert np.abs(y).max() > 0  # the kept 32 pulses still produced signal
+
+
+@pytest.mark.smoke
+def test_tiny_requiem_roundtrip_smoke():
+    """One flagship harvest->cheaptrick->d4cRequiem->synthesisRequiem
+    round-trip at tiny static shapes (fs=12000, 0.256 s, small caps) so the
+    smoke tier drives a REAL encode+decode program end-to-end.  Same shapes
+    as the driver's dryrun_multichip DP row, so the compile stays ~1 min
+    cold and seconds warm-cache."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from world_tpu.parallel.batch import _encode_decode_one
+    from world_tpu.synth.seeds import get_seeds_signals
+
+    fs, n = 12000, 3072
+    t = np.arange(n) / fs
+    rng = np.random.RandomState(0)
+    # the 1% noise floor matters: on a PURE stationary tone the reference's
+    # own RemoveUnreliableCandidates wipes all but ~2 frames (verified
+    # parity-exact against /root/reference on this clip) — real signals
+    # (and the driver dryrun) always carry noise
+    x = jnp.asarray((0.6 * (np.sin(2 * np.pi * 150 * t)
+                            + 0.3 * np.sin(2 * np.pi * 300 * t))
+                     + 0.01 * rng.randn(n)).astype(np.float32))
+    seeds = get_seeds_signals(fs)
+    pulse = jnp.asarray(np.asarray(seeds["pulse"], np.float32))
+    noise = jnp.asarray(np.asarray(seeds["noise"], np.float32))
+    out = jax.jit(partial(_encode_decode_one, fs=fs, frame_period=10,
+                          max_pulses=256, max_candidates=8,
+                          max_sections=16))(x, pulse, noise)
+    f0 = np.asarray(out["f0"])
+    y = np.asarray(out["y"])
+    assert np.all(np.isfinite(y)) and np.abs(y).max() > 0
+    voiced = f0[f0 > 0]
+    assert voiced.size > 10
+    med = float(np.median(voiced))
+    assert 140 < med < 160, med  # the 150 Hz fundamental must be found
+
+
+@pytest.mark.smoke
+def test_tiny_dio_classic_roundtrip_smoke():
+    """One dio+stonemask -> classic pulse/noise synthesis round-trip at the
+    same tiny shapes (the BASELINE config-2 path, end-to-end in smoke)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from world_tpu.parallel.batch import _encode_decode_classic_one
+
+    fs, n = 12000, 3072
+    t = np.arange(n) / fs
+    rng = np.random.RandomState(0)
+    x = jnp.asarray((0.6 * (np.sin(2 * np.pi * 150 * t)
+                            + 0.3 * np.sin(2 * np.pi * 300 * t))
+                     + 0.01 * rng.randn(n)).astype(np.float32))
+    out = jax.jit(partial(_encode_decode_classic_one, fs=fs,
+                          frame_period=10))(x, jax.random.PRNGKey(0))
+    f0 = np.asarray(out["f0"])
+    y = np.asarray(out["y"])
+    assert np.all(np.isfinite(y)) and np.abs(y).max() > 0
+    voiced = f0[f0 > 0]
+    assert voiced.size > 10
+    med = float(np.median(voiced))
+    assert 140 < med < 160, med
+
+
+@pytest.mark.smoke
 def test_harvest_capacity_warnings():
     """Static-table saturation must warn, never silently truncate.
 
@@ -216,6 +335,8 @@ def test_modify_duration_then_decode(mwm):
     w.modify_duration(dat, [1.0, end - 1.0], [0.7, -1])
     tp = dat["temporal_positions"]
     assert not np.allclose(np.diff(tp), np.diff(tp)[0])  # non-uniform now
+    # trailing -1 pins the last anchor to the identity: total duration kept
+    np.testing.assert_allclose(tp[-1], end, atol=1e-9)
     out = w.decode(dat)["out"]
     assert np.all(np.isfinite(out))
     assert 0.001 < np.abs(out).max() <= 1.0

@@ -166,16 +166,19 @@ class World:
         endpoints but not ``to_time``, so its ``np.interp`` call crashes on
         a length mismatch (main.py:186-189; its only caller is disabled,
         example/prosody.py:39-44).  Here the anchors are 0 -> 0, each
-        ``from_time[i]`` -> ``to_time[i]`` (a trailing ``-1`` means "the
-        original end time"), and the warp continues at unit rate after the
-        last anchor.
+        ``from_time[i]`` -> ``to_time[i]``, and the warp continues at unit
+        rate after the last anchor (so the output ends at
+        ``to_time[-1] + (end - from_time[-1])``).  A trailing ``-1`` in
+        ``to_time`` pins the last anchor to the identity
+        (``from_time[-1] -> from_time[-1]``): with the unit-rate tail the
+        original end then maps to itself and total duration is preserved.
         """
         tp = np.asarray(dat["temporal_positions"])
         end = tp[-1]
         from_time = np.asarray(from_time, dtype=np.float64)
         to_time = np.asarray(to_time, dtype=np.float64)
         if to_time[-1] == -1:
-            to_time[-1] = end
+            to_time[-1] = from_time[-1]
         assert np.all(np.diff(from_time) > 0)
         assert np.all(np.diff(to_time) > 0)
         assert from_time[0] > 0 and to_time[0] > 0

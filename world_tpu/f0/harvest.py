@@ -682,32 +682,30 @@ def _smooth_zero_phase_kernel() -> np.ndarray:
     return np.convolve(h, h[::-1])  # lags -R..R, symmetric
 
 
-def smooth_f0(f0, max_sections: int = 256, section_chunk: int = 32):
+def smooth_f0(f0, max_sections: int = 256, section_chunk: int = 64):
     """Per-voiced-section zero-phase biquad smoothing (harvest.py:533-559).
 
     One batched FFT convolution instead of 4 associative-scan IIR passes per
     section: every section row (constant-extended, as in the reference) is
-    convolved with the static symmetric zero-phase kernel in a single
-    (max_sections, N) rfft/irfft pair — on TPU these run as Cooley-Tukey
+    convolved with the static symmetric zero-phase kernel in a
+    (section_chunk, N) rfft/irfft pair — on TPU these run as Cooley-Tukey
     matmuls on the MXU (dsp.fftmm), replacing the lax.map of log-depth scans
     that dominated harvest's runtime (measured 24 ms -> ~1 ms).  Kept outputs
     all sit >= R samples from both row ends (the reference's 300-pad), so
-    circular wrap never contaminates them."""
-    del section_chunk  # retained for API compat; the conv path has no chunks
+    circular wrap never contaminates them.
+
+    The section axis is processed in ``section_chunk`` blocks via lax.scan so
+    live memory stays O(section_chunk * n) — with the adaptive max_sections
+    (~n/32, default_max_sections) a dense (max_sections, n) row matrix would
+    be O(n^2/32): ~11 GB at 5 minutes of 16 kHz audio.  Sections are disjoint
+    (at most one nonzero contribution per sample), so the blockwise
+    accumulation is bitwise identical to the single-block sum."""
     n = f0.shape[0]
     R = _SMOOTH_RADIUS
     padded = jnp.concatenate([jnp.zeros(300, f0.dtype), f0, jnp.zeros(300, f0.dtype)])
     m = padded.shape[0]
     starts, ends, count = _sections(padded, max_sections)
     valid = jnp.arange(max_sections) < count
-
-    i = jnp.arange(m)
-    in_sec = (i[None, :] >= starts[:, None]) & (i[None, :] <= ends[:, None])
-    c_st = jnp.take(padded, starts)
-    c_ed = jnp.take(padded, ends)
-    rows = jnp.where(i[None, :] < starts[:, None], c_st[:, None],
-                     jnp.where(i[None, :] > ends[:, None], c_ed[:, None],
-                               padded[None, :]))
 
     from ..dsp import fftmm
 
@@ -717,11 +715,36 @@ def smooth_f0(f0, max_sections: int = 256, section_chunk: int = 32):
     kern[: R + 1] = g[R:]          # lags 0..R
     kern[-R:] = g[:R]              # lags -R..-1 wrap to the tail
     gf = jnp.asarray(np.fft.rfft(kern))
-    out = fftmm.irfft(fftmm.rfft(rows, N) * gf.astype(jnp.complex64 if
-                                                      rows.dtype == jnp.float32
-                                                      else gf.dtype), N)[:, :m]
-    segs = jnp.where(in_sec & valid[:, None], out, 0.0)
-    smoothed = jnp.sum(segs, axis=0)
+    gf = gf.astype(jnp.complex64 if f0.dtype == jnp.float32 else gf.dtype)
+    i = jnp.arange(m)
+
+    def block(st, ed, val):
+        """Summed smoothed contribution (m,) of one (chunk,) section block."""
+        in_sec = (i[None, :] >= st[:, None]) & (i[None, :] <= ed[:, None])
+        c_st = jnp.take(padded, st)
+        c_ed = jnp.take(padded, ed)
+        rows = jnp.where(i[None, :] < st[:, None], c_st[:, None],
+                         jnp.where(i[None, :] > ed[:, None], c_ed[:, None],
+                                   padded[None, :]))
+        out = fftmm.irfft(fftmm.rfft(rows, N) * gf, N)[:, :m]
+        return jnp.sum(jnp.where(in_sec & val[:, None], out, 0.0), axis=0)
+
+    if max_sections <= section_chunk:
+        smoothed = block(starts, ends, valid)
+    else:
+        pad = (-max_sections) % section_chunk
+        n_chunks = (max_sections + pad) // section_chunk
+
+        def pad_r(a):
+            return jnp.pad(a, (0, pad)).reshape(n_chunks, section_chunk)
+
+        def body(acc, sc):
+            st, ed, val = sc
+            return acc + block(st, ed, val), None
+
+        smoothed, _ = jax.lax.scan(
+            body, jnp.zeros(m, f0.dtype),
+            (pad_r(starts), pad_r(ends), pad_r(valid)))
     return smoothed[300 : m - 300]
 
 

@@ -119,9 +119,19 @@ def _encode_decode_classic_one(x, key, fs: int, frame_period: int):
 
 
 def batch_encode_decode(xs, fs: int, mesh: Mesh = None, frame_period: int = 5,
-                        seed: int = 0):
+                        seed: int = 0, max_pulses: int = None,
+                        max_candidates: int = None, max_sections: int = None,
+                        check_capacity: bool = True):
     """Shard a (batch, n_samples) utterance batch over the mesh and run the
-    full encode+decode pipeline data-parallel."""
+    full encode+decode pipeline data-parallel.
+
+    Static table caps default to the same adaptive sizes the single-utterance
+    API uses (notably ``default_max_sections`` — a fixed 256 saturates past
+    ~11 s and silently zeroes later voicing).  ``check_capacity`` syncs the
+    per-utterance overflow flags once after the batch and raises the same
+    RuntimeWarning as the public ``harvest()``/``decode()`` paths.
+    """
+    from ..f0.harvest import default_max_sections
     from ..synth.seeds import get_seeds_signals
 
     xs = jnp.asarray(xs)
@@ -129,27 +139,49 @@ def batch_encode_decode(xs, fs: int, mesh: Mesh = None, frame_period: int = 5,
     pulse_seed = jnp.asarray(seeds["pulse"], xs.dtype)
     noise_seed = jnp.asarray(seeds["noise"], xs.dtype)
     duration = xs.shape[1] / fs
-    max_pulses = int(2 ** np.ceil(np.log2(duration * 1000 + 8)))
-    n_bands = int(np.ceil(np.log2((800 * 1.1) / (71 * 0.9)) * 40))
-    max_candidates = int(n_bands / 10 + 0.5)
-    max_sections = max(16, min(256, xs.shape[1] // 200))
+    if max_pulses is None:
+        max_pulses = int(2 ** np.ceil(np.log2(duration * 1000 + 8)))
+    if max_candidates is None:
+        n_bands = int(np.ceil(np.log2((800 * 1.1) / (71 * 0.9)) * 40))
+        max_candidates = int(n_bands / 10 + 0.5)
+    if max_sections is None:
+        max_sections = default_max_sections(xs.shape[1], fs)
 
     fn = jax.vmap(partial(_encode_decode_one, fs=int(fs),
                           frame_period=int(frame_period),
-                          max_pulses=max_pulses,
-                          max_candidates=max_candidates,
-                          max_sections=max_sections),
+                          max_pulses=int(max_pulses),
+                          max_candidates=int(max_candidates),
+                          max_sections=int(max_sections)),
                   in_axes=(0, None, None))
     if mesh is not None:
-        data_sharding = NamedSharding(mesh, P("data"))
         replicated = NamedSharding(mesh, P())
         xs = jax.device_put(xs, NamedSharding(mesh, P("data", None)))
         fn = jax.jit(fn, in_shardings=(NamedSharding(mesh, P("data", None)),
                                        replicated, replicated))
-        del data_sharding
     else:
         fn = jax.jit(fn)
-    return fn(xs, pulse_seed, noise_seed)
+    out = fn(xs, pulse_seed, noise_seed)
+    if check_capacity:
+        _warn_batch_capacity(np.asarray(out["_overflow"]), max_sections,
+                             max_pulses)
+    return out
+
+
+def _warn_batch_capacity(overflow, max_sections, max_pulses):
+    """Surface per-utterance static-table saturation (the reference's tables
+    are unbounded, /root/reference/world/harvest.py:88-110; ours are static
+    and must never truncate silently)."""
+    overflow = np.asarray(overflow)
+    if overflow.any():
+        import warnings
+
+        idx = np.flatnonzero(overflow)
+        warnings.warn(
+            f"batch_encode_decode: static table capacity "
+            f"(max_sections={max_sections}, refinement slots, or "
+            f"max_pulses={max_pulses}) saturated for utterance(s) "
+            f"{idx.tolist()}; results for those rows may degrade — "
+            f"raise the caps", RuntimeWarning, stacklevel=3)
 
 
 def frame_sharded_cheaptrick(x, f0, vuv, temporal_positions, fs: int,
