@@ -27,8 +27,16 @@ def _dft_bins(segment, bins, fft_size):
     Returns complex (K,) == np.fft.fft(segment, fft_size)[bins] exactly
     (segment is zero-padded to fft_size by construction: L <= fft_size).
     """
-    n = jnp.arange(segment.shape[0], dtype=segment.dtype)
-    theta = (-2.0 * jnp.pi / fft_size) * bins[:, None] * n[None, :]
+    # exact integer angle reduction: bins and n are integers and fft_size a
+    # power of two, so (bins*n) mod fft_size is exact in int32 and the
+    # resulting |theta| < 2*pi — f32 trig at large arguments (|theta| up to
+    # ~36*pi here) costs ~1e-5 rad of argument rounding plus the
+    # accelerator's reduction error, which fed the refined-f0 20%-change
+    # threshold (stonemask.py:25-26)
+    n_i = jnp.arange(segment.shape[0], dtype=jnp.int32)
+    m = (bins.astype(jnp.int32)[:, None] * n_i[None, :]
+         ) % fft_size.astype(jnp.int32)
+    theta = (-2.0 * jnp.pi) * (m.astype(segment.dtype) / fft_size)
     # HIGHEST: the IF ratios feed a 20%-change rejection threshold
     # (stonemask.py:25-26); a bf16 DEFAULT pass flips borderline frames
     hp = jax.lax.Precision.HIGHEST

@@ -31,15 +31,21 @@ _BLK = 128
 def dft_basis(W: int, nb: int, dtype):
     """Static cos/sin basis (W, 2*nb) with angles (-2*pi*k/S)*n, S=2*(nb-1).
 
-    The angle arithmetic order matches the reference's
-    (-2*pi*bins/fft_size)*n bit-for-bit (K/S == bins/fft_size exactly).
+    Computed HOST-SIDE in float64 and baked in as a constant: every entry is
+    then correct to one target-dtype ulp.  Tracing this on device in f32
+    (round 2) put ~1.2e-4 rad of angle rounding plus the accelerator's
+    large-argument trig error into the basis (|theta| reaches ~pi*W ~ 2e3
+    rad), which dominated the refinement's score noise on TPU — measured
+    8x more base-stage octave flips vs the f64 reference than the same f32
+    math on CPU (51 vs 6 at 16 kHz).  The reference's FFT
+    (/root/reference/world/harvest.py:184-193) is all-f64, so the constant
+    basis is also the closer parity match.
     """
     S = 2 * (nb - 1)
-    k_idx = jnp.arange(nb, dtype=dtype)
-    ang = ((-2.0 * jnp.pi) * k_idx) / S
-    n_idx = jnp.arange(W, dtype=dtype)
-    theta = n_idx[:, None] * ang[None, :]
-    return jnp.concatenate([jnp.cos(theta), jnp.sin(theta)], axis=1)
+    theta = np.arange(W, dtype=np.float64)[:, None] * (
+        (-2.0 * np.pi) * np.arange(nb, dtype=np.float64)[None, :] / S)
+    basis = np.concatenate([np.cos(theta), np.sin(theta)], axis=1)
+    return jnp.asarray(basis, dtype)
 
 
 def _windows(phase, f0, actual_fs, max_half, base_abs, fast_cos=False):
