@@ -11,6 +11,12 @@ from scipy.io import wavfile
 
 def main():
     import jax
+
+    # persistent jit cache: the pipeline programs are large and the remote
+    # tunnel makes first compiles minutes-long; repeated runs hit disk
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from world_tpu import World
