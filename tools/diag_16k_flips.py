@@ -16,10 +16,9 @@ Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python tools/diag_16k_flips.py dump cpu /tmp/h16_cpu.npz
   PYTHONPATH=/root/repo:/root/.axon_site python tools/diag_16k_flips.py dump tpu /tmp/h16_tpu.npz
   python tools/diag_16k_flips.py compare /tmp/h16_cpu.npz /tmp/h16_tpu.npz
-(`dump cpu` re-execs itself with JAX_PLATFORMS=cpu.)
+(`dump cpu` forces the host-CPU platform via jax.config — the axon plugin
+ignores the JAX_PLATFORMS env var.)
 """
-import os
-import subprocess
 import sys
 
 import numpy as np
@@ -32,9 +31,13 @@ STAGES = [
 ]
 
 
-def dump(path):
+def dump(path, backend=None):
     import jax
 
+    if backend == "cpu":
+        # the axon TPU plugin registers regardless of the JAX_PLATFORMS env
+        # var; only jax.config reliably forces the host-CPU platform
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -83,12 +86,7 @@ def main():
     mode = sys.argv[1]
     if mode == "dump":
         backend, path = sys.argv[2], sys.argv[3]
-        if backend == "cpu" and os.environ.get("JAX_PLATFORMS") != "cpu":
-            env = dict(os.environ, JAX_PLATFORMS="cpu")
-            subprocess.run([sys.executable, __file__, "dump", "cpu", path],
-                           env=env, check=True)
-            return
-        dump(path)
+        dump(path, backend=backend)
     elif mode == "compare":
         compare(sys.argv[2], sys.argv[3])
     else:
