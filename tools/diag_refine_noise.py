@@ -35,7 +35,17 @@ def build_inputs(dump_path):
     dump = np.load(dump_path)
     cands1 = np.asarray(dump["_cands_overlap"], np.float32)  # (C, F)
 
-    y, actual_fs = downsample(jnp.asarray(x), fs, 8000)
+    import os
+    if os.environ.get("DIAG_Y_FROM"):
+        # decompose backend noise: reuse another backend's decimated signal
+        # so the comparison isolates the refine path from decimator ulp noise
+        yz = np.load(os.environ["DIAG_Y_FROM"])
+        y, actual_fs = yz["y"], float(yz["actual_fs"])
+    else:
+        y, actual_fs = downsample(jnp.asarray(x), fs, 8000)
+        if os.environ.get("DIAG_Y_TO"):
+            np.savez(os.environ["DIAG_Y_TO"], y=np.asarray(y, np.float32),
+                     actual_fs=float(actual_fs))
     f0_floor, f0_ceil = 71.0, 800.0
     max_half = int(np.ceil(3 * actual_fs / f0_floor / 2))
     num_samples = int(1000 * x.shape[0] / fs / 1 + 1)
@@ -54,6 +64,7 @@ def build_inputs(dump_path):
 
 
 def run_path(tag, inputs, dtype, force_xla):
+    import jax
     import jax.numpy as jnp
 
     from world_tpu.f0.harvest import refine_candidates
@@ -64,10 +75,13 @@ def run_path(tag, inputs, dtype, force_xla):
         orig = refine_dft.on_tpu
         refine_dft.on_tpu = lambda: False
     try:
-        ref, score = refine_candidates(
-            jnp.asarray(y, dtype), actual_fs, jnp.asarray(tp, dtype),
-            jnp.asarray(compact, dtype), f0_floor, f0_ceil, max_half,
-            stride_samples=actual_fs * 0.001)
+        # jit the whole call: eager dispatch through the axon tunnel pays a
+        # host round-trip per op and takes tens of minutes
+        fn = jax.jit(lambda yj, tj, cj: refine_candidates(
+            yj, actual_fs, tj, cj, f0_floor, f0_ceil, max_half,
+            stride_samples=actual_fs * 0.001))
+        ref, score = fn(jnp.asarray(y, dtype), jnp.asarray(tp, dtype),
+                        jnp.asarray(compact, dtype))
         out = {"ref": np.asarray(ref, np.float64),
                "score": np.asarray(score, np.float64)}
     finally:

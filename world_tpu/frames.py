@@ -96,16 +96,21 @@ def uniform_centered_slabs(x, fs: float, frame_period_s: float, n_frames: int,
     width0 = 2 * max_half + 1 + 2 * margin
     slab = uniform_frames(x, stride, n_frames, width0 + 3,
                           -max_half - margin - 1)
-    T = temporal_positions * fs
-    center = jnp.floor(T + 0.501) + 1.0
-    # exact rational r(q) recomputed on host grid: delta = center-1-... - slab0
+    # exact rational grid on host: T(q) = q*pnum/qden, center = floor(T+0.501)+1
+    # computed in integer arithmetic.  The previous device-f32 center
+    # (floor(t*fs + 0.501)) rounds t*fs at ~5e4 magnitude (ulp ~4e-3), so
+    # frames whose true fractional part sits within an ulp of the .501
+    # boundary gathered a NEIGHBORING sample on one backend and not the
+    # other — a whole-sample segment shift that flipped downstream candidate
+    # argmaxes.  Integer center makes the gather bitwise deterministic and
+    # matches the reference's f64 round_matlab(t*fs + 0.001) exactly (the
+    # grid fractions are >=1e-3 away from the .499 boundary).
     frac = Fraction(stride).limit_denominator(1000)
     pnum, qden = frac.numerator, frac.denominator
-    q = np.arange(n_frames)
+    q = np.arange(n_frames, dtype=np.int64)
     r = (q * pnum) // qden
-    slab0 = jnp.asarray(r, x.dtype) - max_half - margin - 1
-    d = (center - 1.0 - max_half - margin - slab0).astype(jnp.int32)
-    d = jnp.clip(d, 0, 3)
+    center_i = (1000 * q * pnum + 501 * qden) // (1000 * qden) + 1
+    d = jnp.asarray(np.clip(center_i - r, 0, 3).astype(np.int32))
     out = jnp.where((d == 0)[:, None], slab[:, 0:width0], 0.0)
     for dd in range(1, 4):
         out = jnp.where((d == dd)[:, None], slab[:, dd : dd + width0], out)
