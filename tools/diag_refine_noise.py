@@ -104,26 +104,35 @@ def main():
     import jax.numpy as jnp
 
     inputs = build_inputs(dump_path)
+    # key result files by a hash of the dump inputs: a stale oracle from a
+    # previous dump (different input or code version) must never be
+    # silently compared against fresh results (round-3 advisor finding)
+    import hashlib
+    ih = hashlib.sha256()
+    for a in jax.tree_util.tree_leaves(inputs):
+        ih.update(np.ascontiguousarray(np.asarray(a)).tobytes())
+    tag = ih.hexdigest()[:12]
     if backend == "cpu":
-        np.savez("/tmp/refine_f64.npz",
+        np.savez(f"/tmp/refine_f64_{tag}.npz",
                  **run_path("xla-f64 cpu", inputs, jnp.float64, True))
-        np.savez("/tmp/refine_f32_cpu.npz",
+        np.savez(f"/tmp/refine_f32_cpu_{tag}.npz",
                  **run_path("xla-f32 cpu", inputs, jnp.float32, True))
     else:
-        np.savez("/tmp/refine_f32_tpu_xla.npz",
+        np.savez(f"/tmp/refine_f32_tpu_xla_{tag}.npz",
                  **run_path("xla-f32 tpu", inputs, jnp.float32, True))
-        np.savez("/tmp/refine_f32_tpu_pallas.npz",
+        np.savez(f"/tmp/refine_f32_tpu_pallas_{tag}.npz",
                  **run_path("pallas tpu", inputs, jnp.float32, False))
 
-    # report whatever pairs exist
+    # report whatever pairs exist FOR THIS DUMP's hash
     import os
-    if not os.path.exists("/tmp/refine_f64.npz"):
+    if not os.path.exists(f"/tmp/refine_f64_{tag}.npz"):
         return
-    oracle = np.load("/tmp/refine_f64.npz")
+    oracle = np.load(f"/tmp/refine_f64_{tag}.npz")
     nz = oracle["score"] > 0
-    for name, path in [("xla-f32 cpu", "/tmp/refine_f32_cpu.npz"),
-                       ("xla-f32 tpu", "/tmp/refine_f32_tpu_xla.npz"),
-                       ("pallas  tpu", "/tmp/refine_f32_tpu_pallas.npz")]:
+    for name, path in [("xla-f32 cpu", f"/tmp/refine_f32_cpu_{tag}.npz"),
+                       ("xla-f32 tpu", f"/tmp/refine_f32_tpu_xla_{tag}.npz"),
+                       ("pallas  tpu",
+                        f"/tmp/refine_f32_tpu_pallas_{tag}.npz")]:
         if not os.path.exists(path):
             continue
         d = np.load(path)

@@ -105,26 +105,32 @@ def main():
               f"({100*flips:.2f}%)")
         check(f"{tag} batched frames>0.5Hz <= 1%", big <= 0.01,
               f"({100*big:.2f}%)")
-        # Golden bar, f32-decision-noise aware.  Measured (round 2, 16 kHz
-        # resampled fixture): harvest's top-2 candidate scores can near-tie
-        # (0.2% apart, octave families) while f32 cancellation noise in the
-        # refinement's instantaneous-frequency numerator is ~0.3% — the
-        # argmax flip then grows into a whole voiced section via
-        # FixStep2/3's run-length dynamics (29 frames in 3 runs vs the f64
-        # reference; CPU f32 happens to round the other way and matches
-        # 100%).  Outside flip-adjacent frames the f0 values match the f64
-        # reference to the same bar as 22 kHz, so the check excludes a
-        # +-2-frame halo around vuv flips and bounds the flip mass instead.
+        # Golden bar.  22 kHz is held strict (vuv > 0.99, no exclusion).
+        # 16 kHz measured r4 ON DEVICE after the prod_diff + host-f64-basis
+        # work: batched == single-stream BITWISE in decisions (0 flips
+        # above), but TPU-f32 still flips 29 frames vs the f64 reference
+        # (near-tied octave candidate scores; the argmax flip grows into
+        # whole voiced sections via FixStep2/3's run-length dynamics — CPU
+        # f32 rounds the other way and matches 100%).  Until the tie-break
+        # itself is made f32-robust, the 16 kHz bar bounds the flip mass
+        # and checks values outside a +-2-frame halo; the flip count is
+        # printed so regressions are visible (diag: tools/diag_16k_flips.py).
         vb, gv = f0_b > 0, np.asarray(gvuv2) > 0.5
         flips_g = vb != gv
-        halo = np.convolve(flips_g.astype(int), np.ones(5), "same") > 0
-        ok_f = vb & gv & ~halo
+        strict = tag == "22k"
+        if strict:
+            ok_f = vb & gv
+        else:
+            halo = np.convolve(flips_g.astype(int), np.ones(5), "same") > 0
+            ok_f = vb & gv & ~halo
         agree_b = float(np.mean(vb == gv))
         rmse_b = float(np.sqrt(np.mean((f0_b[ok_f]
                                         - np.asarray(gf0)[ok_f]) ** 2)))
-        check(f"{tag} batched golden vuv agreement > 0.95", agree_b > 0.95,
+        bar = 0.99 if strict else 0.95
+        check(f"{tag} batched golden vuv agreement > {bar}", agree_b > bar,
               f"({agree_b:.4f})")
-        check(f"{tag} batched flip-excluded F0 RMSE < 1 Hz", rmse_b < 1.0,
+        check(f"{tag} batched {'voiced' if strict else 'flip-excluded'} "
+              f"F0 RMSE < 1 Hz", rmse_b < 1.0,
               f"({rmse_b:.3f}, {int(flips_g.sum())} flipped frames)")
 
     batched_noise_check("22k", fs, x, g["f0"], g["vuv"])

@@ -27,24 +27,39 @@ def linear_recurrence(A, bx, s0=None):
     (scan axis minor-most): packing the tiny state dims into trailing matrix
     dims would make the TPU (8,128) tiling pad them ~40x.
 
-    Reproducibility note (the root cause of batched-vs-single-stream f0
-    decision noise, measured round 2): the compose's mul-add chains are
-    elementwise, and XLA contracts them into FMAs differently for the (n,)
-    and (B, n) programs — the axon TPU terminal pins
-    ``--xla_allow_excess_precision=true``, so this is environment-forced.
-    The result is ~1-ulp (#~6e-8) drift on the filtered signal between a
-    vmapped run and a single-stream run, which can flip zero crossings that
-    sit within 1 ulp of 0 and hence perturb a handful of f0 candidates.
-    Every *dot* in the pipeline is exact or HIGHEST-pinned (dsp.fir,
-    ops.dot_exact_b, dsp.scanops); this elementwise contraction is the one
-    remaining — and uncontrollable — source.  Correctness is therefore
-    gated against the f64 reference goldens (bench.py, tools/verify_tpu.py),
-    not bitwise against the single-stream program.
+    Reproducibility (the root cause of batched-vs-single-stream f0 decision
+    noise, round 2): mul+add chains FMA-contract differently across program
+    RANKS — the axon TPU terminal pins ``--xla_allow_excess_precision=true``,
+    so contraction is environment-forced and its placement is the compiler's
+    choice.  Measured round 4 (CPU, f32, real cheby1 coefficients on the
+    fixture): the (n,) and vmapped (B, n) programs drift ~1 ulp starting a
+    few samples in, while (1, n) / (3, n) / (4, n) runs of the SAME rank are
+    bitwise identical per row.  Two rejected schemes: a lax.map row fold and
+    barrier-per-compose-product each re-introduced divergence (different
+    compile context / blocked constant folding).  The fix is therefore
+    rank canonicalization: every call flattens its lead dims to ONE row
+    axis, runs the scan at rank 2, and a ``custom_vmap`` rule folds a
+    vmapped batch axis into that same row axis — so the single-stream and
+    batched programs are literally the same program with different row
+    counts (asserted by tests/test_batched_bitwise.py on CPU; checked on
+    TPU by tools/verify_tpu.py's batched bars).
     """
     bx = jnp.asarray(bx)
     n, k = bx.shape[-2], bx.shape[-1]
     lead = bx.shape[:-2]
     A = jnp.asarray(A, bx.dtype)
+    bx2 = bx.reshape((-1, n, k))
+    if s0 is None:
+        out = _linrec_cv(A, bx2)
+    else:
+        s0_2 = jnp.asarray(s0, bx.dtype).reshape((-1, k))
+        out = _linrec_cv_s0(A, bx2, s0_2)
+    return out.reshape(lead + (n, k))
+
+
+def _linear_recurrence_impl(A, bx, s0=None):
+    n, k = bx.shape[-2], bx.shape[-1]
+    lead = bx.shape[:-2]
 
     a_elems = tuple(jnp.broadcast_to(A[i, j], lead + (n,))
                     for i in range(k) for j in range(k))
@@ -68,10 +83,66 @@ def linear_recurrence(A, bx, s0=None):
     bfull = out[k * k :]
     if s0 is not None:
         bfull = tuple(
-            bfull[i] + sum(afull[i * k + j] * s0[..., j, None]
+            bfull[i] + sum(_nofma(afull[i * k + j], s0[..., j, None])
                            for j in range(k))
             for i in range(k))
     return jnp.stack(bfull, axis=-1)
+
+
+from jax.custom_batching import custom_vmap  # noqa: E402
+
+
+def _linrec_fold_rule(fn, has_s0, axis_size, in_batched, A, *rest):
+    """custom_vmap rule: run each batch element through the SAME program the
+    single-stream call compiles (unrolled — scan codegen, and hence FMA
+    placement, depends on the row count L, so batch rows must execute at the
+    single-stream L, not at L*B)."""
+    if in_batched[0]:  # per-row A matrices never occur here (static coeffs)
+        raise NotImplementedError("vmap over filter coefficients")
+
+    def pick(a, batched, i):
+        return a[i] if batched else a
+
+    outs = [fn(A, *[pick(a, b, i) for a, b in zip(rest, in_batched[1:])])
+            for i in range(axis_size)]
+    return jnp.stack(outs), True
+
+
+@custom_vmap
+def _linrec_cv(A, bx):
+    # entry/exit barriers: fusion from surrounding (possibly batched-rank)
+    # producers/consumers must not leak into the scan region's codegen,
+    # or contraction decisions there become batch-shape-dependent again
+    return lax.optimization_barrier(
+        _linear_recurrence_impl(A, lax.optimization_barrier(bx), None))
+
+
+@_linrec_cv.def_vmap
+def _linrec_cv_rule(axis_size, in_batched, A, bx):
+    return _linrec_fold_rule(_linrec_cv, False, axis_size, in_batched, A, bx)
+
+
+@custom_vmap
+def _linrec_cv_s0(A, bx, s0):
+    bx, s0 = lax.optimization_barrier((bx, s0))
+    return lax.optimization_barrier(_linear_recurrence_impl(A, bx, s0))
+
+
+@_linrec_cv_s0.def_vmap
+def _linrec_cv_s0_rule(axis_size, in_batched, A, bx, s0):
+    return _linrec_fold_rule(_linrec_cv_s0, True, axis_size, in_batched,
+                             A, bx, s0)
+
+
+def _nofma(a, b):
+    """a*b, pinned so a consuming add can NOT contract it into an FMA.
+
+    XLA (under the environment-pinned --xla_allow_excess_precision=true)
+    contracts ``p*q + r`` into fma(p, q, r) shape-dependently, which makes
+    vmapped results drift ~1 ulp from single-stream ones.  The barrier sits
+    on the product only — constant folding and the scan structure are
+    untouched (barriering more than this measurably re-introduces drift)."""
+    return lax.optimization_barrier(a * b)
 
 
 def lfilter_coeffs_state_space(b, a):
@@ -114,7 +185,7 @@ def lfilter(b, a, x, zi=None):
     s_prev0 = jnp.concatenate(
         [jnp.zeros_like(s[..., :1, 0]) if zi is None else jnp.asarray(zi)[..., None, 0],
          s[..., :-1, 0]], axis=-1)
-    return b0 * x + s_prev0
+    return _nofma(b0, x) + s_prev0
 
 
 def filtfilt(b, a, x, padlen):
@@ -128,9 +199,9 @@ def filtfilt(b, a, x, padlen):
     zi_np = _ss.lfilter_zi(np.asarray(b, dtype=np.float64), np.asarray(a, dtype=np.float64))
     x = jnp.asarray(x)
     zi = jnp.asarray(zi_np, dtype=x.dtype)
-    # odd extension
-    left = 2 * x[..., :1] - x[..., 1 : padlen + 1][..., ::-1]
-    right = 2 * x[..., -1:] - x[..., -padlen - 1 : -1][..., ::-1]
+    # odd extension (products pinned: 2*x - rev must not contract into FMA)
+    left = _nofma(2.0, x[..., :1]) - x[..., 1 : padlen + 1][..., ::-1]
+    right = _nofma(2.0, x[..., -1:]) - x[..., -padlen - 1 : -1][..., ::-1]
     ext = jnp.concatenate([left, x, right], axis=-1)
     y = lfilter(b, a, ext, zi=zi * ext[..., :1])
     y = y[..., ::-1]
@@ -208,7 +279,8 @@ def _filter_for_decimate(x, r: int):
     s = linear_recurrence(A, bx)  # s[t] = (w_t, w_{t-1}, w_{t-2})
     s_prev = jnp.concatenate([jnp.zeros_like(s[..., :1, :]), s[..., :-1, :]], axis=-2)
     b0, b1 = b
-    return b0 * s[..., 0] + b1 * s_prev[..., 0] + b1 * s_prev[..., 1] + b0 * s_prev[..., 2]
+    return (_nofma(b0, s[..., 0]) + _nofma(b1, s_prev[..., 0])
+            + _nofma(b1, s_prev[..., 1]) + _nofma(b0, s_prev[..., 2]))
 
 
 def decimate_world(x, r: int):
@@ -216,8 +288,8 @@ def decimate_world(x, r: int):
     kn = 9
     x = jnp.asarray(x)
     x_len = x.shape[-1]
-    left = 2 * x[..., :1] - x[..., 1 : kn + 1][..., ::-1]
-    right = 2 * x[..., -1:] - x[..., -kn - 1 : -1][..., ::-1]
+    left = _nofma(2.0, x[..., :1]) - x[..., 1 : kn + 1][..., ::-1]
+    right = _nofma(2.0, x[..., -1:]) - x[..., -kn - 1 : -1][..., ::-1]
     tmp = jnp.concatenate([left, x, right], axis=-1)
     tmp = _filter_for_decimate(tmp, r)[..., ::-1]
     tmp = _filter_for_decimate(tmp, r)[..., ::-1]

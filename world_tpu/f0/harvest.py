@@ -229,8 +229,7 @@ def overlap_candidates(cands, max_candidates: int, n: int = 3):
 # refinement (harvest.py:169-211) — harmonic-bin DFT, no FFT, no pool
 # ---------------------------------------------------------------------------
 
-def _refine_block(seg, t_c, cands, actual_fs, f0_floor, f0_ceil, max_half: int,
-                  frac=None):
+def _refine_block(seg, t_c, cands, actual_fs, f0_floor, f0_ceil, max_half: int):
     """GetRefinedF0 (harvest.py:169-211) for a (C, B) candidate block sharing
     per-frame segments seg (B, W) — fully batched, no vmap, no gathers.
 
@@ -240,27 +239,24 @@ def _refine_block(seg, t_c, cands, actual_fs, f0_floor, f0_ceil, max_half: int,
     dtype = seg.dtype
     f0 = jnp.maximum(cands, 1e-12)                       # (C, B)
 
-    if frac is not None:
-        # Exact path (uniform frame grid): the reference's window phase is
-        # (round_matlab(t*fs + base + 0.001) - 1)/fs - t = (base - 1 + c)/fs
-        # with c = floor(t*fs + 0.501) - t*fs, a rational in (-0.5, 0.501]
-        # precomputed host-side in integer arithmetic (``frac``).  Computing
-        # t*fs on device in f32 rounds at ~5e4 magnitude, injecting
-        # frame-dependent window-angle noise (~1.6e-4 rad) that the
-        # instantaneous-frequency cancellation amplified into percent-level
-        # candidate-score noise; the exact form is bitwise deterministic
-        # across backends and matches the reference f64 arithmetic.
-        base_m1 = jnp.asarray(
-            np.arange(-max_half, max_half + 1, dtype=np.float64) - 1.0, dtype)
-        inv_fs = jnp.asarray(np.float64(1.0) / actual_fs, dtype)
-        phase = (base_m1[None, :] + frac[:, None]) * inv_fs       # (B, W)
-    else:
-        base_index = jnp.arange(-max_half, max_half + 1, dtype=dtype)
-        base_time = base_index / actual_fs
-        # (B, W): reference arithmetic, +0.5 un-truncated (arbitrary-grid
-        # fallback; subsample-smooth approximation of the rounded index)
-        index_raw = (t_c[:, None] + base_time[None, :]) * actual_fs + 0.001 + 0.5
-        phase = ((index_raw - 1) / actual_fs - t_c[:, None])      # (B, W)
+    # Window phase (reference harvest.py:178-181): round_matlab adds +/-0.5
+    # WITHOUT flooring, and `common` is built from that UN-truncated value
+    # (truncation to an integer index happens only at the gather, :189), so
+    #   phase = ((t + base/fs)*fs + 0.001 +/- 0.5 - 1)/fs - t
+    #         = (base - 0.499)/fs,
+    # minus an extra 1/fs on elements where the raw index
+    # t*fs + base + 0.001 <= 0 (round_matlab's x<=0 branch; only the first
+    # few frames, whose gathers clamp to sample 1).  The constant part is
+    # computed host-side in f64 — no t*fs at ~5e4 magnitude on device, so
+    # the phase is frame-independent and bitwise deterministic across
+    # backends/batch shapes.  The branch mask's t*fs only matters at small t
+    # (|base| <= max_half), where f32 error << the 0.001 boundary margin.
+    base = np.arange(-max_half, max_half + 1, dtype=np.float64)
+    phase_c = jnp.asarray((base - 0.499) / np.float64(actual_fs), dtype)
+    inv_fs = jnp.asarray(np.float64(1.0) / actual_fs, dtype)
+    raw = (t_c[:, None] * jnp.asarray(actual_fs, dtype)
+           + jnp.asarray(base, dtype)[None, :] + 0.001)
+    phase = phase_c[None, :] - (raw <= 0.0).astype(dtype) * inv_fs  # (B, W)
 
     # Every per-candidate fft_size is a power of two <= S (the f0_floor
     # size), so bin `bins` of a size-fft_size DFT is bin K = bins*(S/fft_size)
@@ -297,7 +293,7 @@ def _bucket_caps(max_half: int):
 
 
 def _refine_bucketed(seg, t_c, cands, actual_fs, f0_floor, f0_ceil,
-                     max_half: int, frac=None):
+                     max_half: int):
     """GetRefinedF0 fan-out split into f0 buckets of shrinking window/DFT
     size.  High candidates only need short windows (half = ceil(3*fs/f0/2))
     and small ffts; running them through the full-size basis wastes
@@ -314,7 +310,7 @@ def _refine_bucketed(seg, t_c, cands, actual_fs, f0_floor, f0_ceil,
     caps = _bucket_caps(max_half)
     if len(caps) == 1:
         return _refine_block(seg, t_c, cands, actual_fs, f0_floor, f0_ceil,
-                             max_half, frac=frac)
+                             max_half)
     C2, F = cands.shape
     # min f0 admitted to cap: ceil(3*fs/f0/2) <= cap, with a half-sample
     # guard against f32 rounding at the boundary
@@ -339,7 +335,7 @@ def _refine_bucketed(seg, t_c, cands, actual_fs, f0_floor, f0_ceil,
                          0.0).T
         seg_b = seg[:, max_half - cap : max_half + cap + 1]
         r_b, s_b = _refine_block(seg_b, t_c, comp, actual_fs, f0_floor,
-                                 f0_ceil, cap, frac=frac)
+                                 f0_ceil, cap)
         idx = jnp.clip(rank - 1, 0, C2 - 1)
         ref_out = ref_out + jnp.where(
             membT, select_rows_small(r_b.T, idx), 0.0).T
@@ -356,23 +352,12 @@ def refine_candidates(y, actual_fs, temporal_positions, cands, f0_floor, f0_ceil
     gather-free on the uniform frame grid."""
     from ..frames import uniform_centered_slabs
 
-    from fractions import Fraction
-
     C, F = cands.shape
     W = 2 * max_half + 1
-    frac = None
     if stride_samples is not None:
         slab = uniform_centered_slabs(y, actual_fs, stride_samples / actual_fs,
                                       F, temporal_positions, max_half + 1)
         seg = slab[:, :W]                                   # (F, W)
-        # host-exact window-phase fraction c - t*fs, c = floor(t*fs + 0.501),
-        # on the rational frame grid (see _refine_block's exact path)
-        fr = Fraction(float(stride_samples)).limit_denominator(1000)
-        pnum, qden = fr.numerator, fr.denominator
-        q = np.arange(F, dtype=np.int64)
-        c = (1000 * q * pnum + 501 * qden) // (1000 * qden)
-        frac = jnp.asarray((c * qden - q * pnum).astype(np.float64) / qden,
-                           seg.dtype)
     else:
         center = jnp.floor(temporal_positions[:, None] * actual_fs + 0.501)
         base = jnp.arange(-max_half, max_half + 1)[None, :]
@@ -383,7 +368,7 @@ def refine_candidates(y, actual_fs, temporal_positions, cands, f0_floor, f0_ceil
         # single block: avoids the lax.map loop entirely (the loop's carried
         # output updates cost more than the block compute at this size)
         return _refine_bucketed(seg, temporal_positions, cands, actual_fs,
-                                f0_floor, f0_ceil, max_half, frac=frac)
+                                f0_floor, f0_ceil, max_half)
 
     pad = (-F) % frame_chunk
     tp_p = jnp.pad(temporal_positions, (0, pad))
@@ -393,16 +378,13 @@ def refine_candidates(y, actual_fs, temporal_positions, cands, f0_floor, f0_ceil
     tp_b = tp_p.reshape(nb, frame_chunk)
     seg_b = seg_p.reshape(nb, frame_chunk, W)
     cd_b = cands_p.reshape(C, nb, frame_chunk).transpose(1, 0, 2)
-    fr_b = (jnp.pad(frac, (0, pad)).reshape(nb, frame_chunk)
-            if frac is not None else jnp.zeros((nb, frame_chunk), seg.dtype))
 
     def chunk_fn(args):
-        t_c, sg_c, cd_c, fr_c = args
+        t_c, sg_c, cd_c = args
         return _refine_bucketed(sg_c, t_c, cd_c, actual_fs, f0_floor, f0_ceil,
-                                max_half, frac=fr_c if frac is not None
-                                else None)
+                                max_half)
 
-    ref, score = jax.lax.map(chunk_fn, (tp_b, seg_b, cd_b, fr_b))
+    ref, score = jax.lax.map(chunk_fn, (tp_b, seg_b, cd_b))
     ref = ref.transpose(1, 0, 2).reshape(C, F + pad)[:, :F]
     score = score.transpose(1, 0, 2).reshape(C, F + pad)[:, :F]
     return ref, score

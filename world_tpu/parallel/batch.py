@@ -154,10 +154,19 @@ def batch_encode_decode(xs, fs: int, mesh: Mesh = None, frame_period: int = 5,
                           max_sections=int(max_sections)),
                   in_axes=(0, None, None))
     if mesh is not None:
-        replicated = NamedSharding(mesh, P())
+        # DP via shard_map, not vmap+pjit sharding: each device compiles the
+        # LOCAL (B/ndev, n) program — identical in shape (and hence bitwise
+        # in result, see dsp/iir.py) to a single-device run of its rows, and
+        # with zero collectives (XLA inserts none; utterances are
+        # independent).  Under plain pjit the partitioner would instead
+        # spread every per-row op across the mesh.
         xs = jax.device_put(xs, NamedSharding(mesh, P("data", None)))
-        fn = jax.jit(fn, in_shardings=(NamedSharding(mesh, P("data", None)),
-                                       replicated, replicated))
+        # check_vma off: the local program is collective-free by design and
+        # its scans carry unvarying literals into varying carries, which the
+        # varying-manual-axes analysis would reject
+        fn = jax.jit(jax.shard_map(fn, mesh=mesh,
+                                   in_specs=(P("data", None), P(), P()),
+                                   out_specs=P("data"), check_vma=False))
     else:
         fn = jax.jit(fn)
     out = fn(xs, pulse_seed, noise_seed)
