@@ -134,6 +134,102 @@ def _linrec_cv_s0_rule(axis_size, in_batched, A, bx, s0):
                              A, bx, s0)
 
 
+@functools.lru_cache(maxsize=None)
+def _trunc_impulse(b, a):
+    """Truncated causal impulse response (host f64) of lfilter(b, a).
+
+    Every IIR in this library has poles well inside the unit circle
+    (max radius 0.89 across all decimator designs), so the response decays
+    below f64 eps within ~300 taps: convolution with the truncated response
+    is numerically EXACT even against the float64 reference recurrence
+    (same argument as _smooth_zero_phase_kernel, f0/harvest.py:675-695).
+    b, a: coefficient tuples (hashable)."""
+    from scipy import signal as _ss
+
+    imp = np.zeros(4096)
+    imp[0] = 1.0
+    h = _ss.lfilter(np.asarray(b, np.float64), np.asarray(a, np.float64),
+                    imp)
+    mag = np.abs(h)
+    if mag.max() == 0.0:
+        return h[:1].copy()
+    nz = np.nonzero(mag > mag.max() * 1e-17)[0]
+    return h[: int(nz[-1]) + 1].copy()
+
+
+_FIR_TILE = 128  # output samples per Toeplitz matmul column block
+
+
+@functools.lru_cache(maxsize=None)
+def _toeplitz_kernel(b, a):
+    """(T+S-1, S) host-f64 Toeplitz matrix H with H[i, s] = h[s + T-1 - i]
+    (zero outside), so y_tile = seg @ H computes S causal outputs per
+    (S+T-1)-sample input tile.  Returns (h_len, H)."""
+    h = _trunc_impulse(b, a)
+    T = h.shape[0]
+    S = _FIR_TILE
+    H = np.zeros((S + T - 1, S))
+    for s in range(S):
+        H[s : s + T, s] = h[::-1]
+    return T, H
+
+
+@custom_vmap
+def _fir_conv_cv(xp, H):
+    """Causal FIR y[t] = sum_j h[j] xp[t + T-1 - j] for one (n+T-1,) row as
+    overlap-save: strided (M, S+T-1) input tiles @ the (S+T-1, S) Toeplitz
+    kernel — one real MXU matmul instead of a per-tap column reduce (which
+    ran ~10x off the bandwidth bound) or a log-depth scan (the r1-r3
+    decimator, 68 sequential kernels).  Region-barriered + per-row unrolled
+    under vmap for the same shape-determinism contract as the scans."""
+    xp = lax.optimization_barrier(xp)
+    S = H.shape[1]
+    T = H.shape[0] - S + 1
+    n = xp.shape[-1] - (T - 1)
+    M = -(-n // S)
+    # overlapping (M, S+T-1) tiles from k row-shifted reshape copies — pure
+    # data movement (conv_general_dilated_patches lowers to an MXU conv
+    # whose bf16 passes would quantize the signal itself)
+    k = -(-(S + T - 1) // S)
+    xpp = jnp.pad(xp, (0, (M + k) * S - n - (T - 1)))
+    rows = xpp.reshape(M + k, S)
+    tiles = jnp.concatenate([rows[i : M + i] for i in range(k)],
+                            axis=1)[:, : S + T - 1]
+    y = jnp.dot(tiles, H, preferred_element_type=xp.dtype,
+                precision=jax.lax.Precision.HIGHEST)
+    return lax.optimization_barrier(y.reshape(-1)[:n])
+
+
+@_fir_conv_cv.def_vmap
+def _fir_conv_cv_rule(axis_size, in_batched, xp, H):
+    if in_batched[1]:
+        H = H[0]
+    outs = [_fir_conv_cv(xp[i] if in_batched[0] else xp, H)
+            for i in range(axis_size)]
+    return jnp.stack(outs), True
+
+
+def _fir_causal(x, b, a, pre):
+    """y[t] = sum_j h[j] * x[t-j] with x[t<0] := pre — exactly
+    lfilter(b, a, x) from zero state (pre=0) or from the constant-input
+    steady state (pre=x0, scipy's ``zi=lfilter_zi*x0``), with h the
+    truncated impulse response.  x: (..., n); pre broadcastable (..., 1)."""
+    x = jnp.asarray(x)
+    T, H_np = _toeplitz_kernel(tuple(np.atleast_1d(b).tolist()),
+                               tuple(np.atleast_1d(a).tolist()))
+    n = x.shape[-1]
+    Hj = jnp.asarray(H_np, x.dtype)
+    pre_b = jnp.broadcast_to(jnp.asarray(pre, x.dtype),
+                             x.shape[:-1] + (T - 1,))
+    xp = jnp.concatenate([pre_b, x], axis=-1)
+    lead = xp.shape[:-1]
+    if lead:
+        y = jnp.stack([_fir_conv_cv(r, Hj)
+                       for r in xp.reshape((-1, xp.shape[-1]))])
+        return y.reshape(lead + (n,))
+    return _fir_conv_cv(xp, Hj)
+
+
 def _nofma(a, b):
     """a*b, pinned so a consuming add can NOT contract it into an FMA.
 
@@ -192,20 +288,19 @@ def filtfilt(b, a, x, padlen):
     """scipy.signal.filtfilt(method='pad', padtype='odd') equivalent.
 
     Matches the reference decimator (/root/reference/world/harvest.py:599-603)
-    which calls filtfilt with an explicit padlen.
+    which calls filtfilt with an explicit padlen.  Each pass's
+    ``zi = lfilter_zi * x0`` initialization IS the constant-x0-prehistory
+    filter, so both passes run as truncated-FIR FFT convolutions
+    (:func:`_fir_causal`) — exact to the f64 tail, no sequential scan.
     """
-    from scipy import signal as _ss
-
-    zi_np = _ss.lfilter_zi(np.asarray(b, dtype=np.float64), np.asarray(a, dtype=np.float64))
     x = jnp.asarray(x)
-    zi = jnp.asarray(zi_np, dtype=x.dtype)
     # odd extension (products pinned: 2*x - rev must not contract into FMA)
     left = _nofma(2.0, x[..., :1]) - x[..., 1 : padlen + 1][..., ::-1]
     right = _nofma(2.0, x[..., -1:]) - x[..., -padlen - 1 : -1][..., ::-1]
     ext = jnp.concatenate([left, x, right], axis=-1)
-    y = lfilter(b, a, ext, zi=zi * ext[..., :1])
+    y = _fir_causal(ext, b, a, ext[..., :1])
     y = y[..., ::-1]
-    y = lfilter(b, a, y, zi=zi * y[..., :1])
+    y = _fir_causal(y, b, a, y[..., :1])
     y = y[..., ::-1]
     return y[..., padlen:-padlen]
 
@@ -270,17 +365,16 @@ def _filter_for_decimate(x, r: int):
     """One forward pass of the WORLD decimation filter (dio.py:359-446).
 
     Recurrence: w_t = x_t + a0 w_{t-1} + a1 w_{t-2} + a2 w_{t-3};
-                y_t = b0 w_t + b1 w_{t-1} + b1 w_{t-2} + b0 w_{t-3}.
+                y_t = b0 w_t + b1 w_{t-1} + b1 w_{t-2} + b0 w_{t-3},
+    i.e. transfer (b0 + b1 z^-1 + b1 z^-2 + b0 z^-3) /
+    (1 - a0 z^-1 - a1 z^-2 - a2 z^-3) from ZERO state — run as a
+    truncated-FIR FFT convolution (:func:`_fir_causal`, pre=0).
     """
     a, b = _DECIMATE_COEFFS.get(r, ((0.0, 0.0, 0.0), (0.0, 0.0)))
     x = jnp.asarray(x)
-    A = jnp.asarray([[a[0], a[1], a[2]], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], dtype=x.dtype)
-    bx = x[..., None] * jnp.asarray([1.0, 0.0, 0.0], dtype=x.dtype)
-    s = linear_recurrence(A, bx)  # s[t] = (w_t, w_{t-1}, w_{t-2})
-    s_prev = jnp.concatenate([jnp.zeros_like(s[..., :1, :]), s[..., :-1, :]], axis=-2)
     b0, b1 = b
-    return (_nofma(b0, s[..., 0]) + _nofma(b1, s_prev[..., 0])
-            + _nofma(b1, s_prev[..., 1]) + _nofma(b0, s_prev[..., 2]))
+    return _fir_causal(x, (b0, b1, b1, b0), (1.0, -a[0], -a[1], -a[2]),
+                       jnp.zeros((), x.dtype))
 
 
 def decimate_world(x, r: int):
