@@ -207,3 +207,50 @@ def test_native_wav_io(tmp_path):
     fs3, x3 = native.read_wav(p)
     assert fs3 == fs
     np.testing.assert_allclose(x3, x[:2000], atol=1e-4)
+
+
+def test_ragged_batch_rows_match_single_runs():
+    """batch_encode_decode_ragged must give, row for row, EXACTLY what a
+    separate call with only that utterance gives (same bucket length =>
+    same program => bitwise decisions, the dsp/iir.py determinism
+    contract), across a mixed-length batch spanning two buckets."""
+    from world_tpu.parallel.batch import batch_encode_decode_ragged
+
+    fs = 12000
+    rng = np.random.RandomState(0)
+
+    def chirp(n, f_lo, scale):
+        t = np.arange(n) / fs
+        f0_true = f_lo + 40.0 * t / t[-1]
+        ph = 2 * np.pi * np.cumsum(f0_true) / fs
+        base = sum((0.6 ** k) * np.sin((k + 1) * ph) for k in range(4))
+        return (base * scale * (0.4 + 0.25 * np.sin(2 * np.pi * 1.7 * t) ** 2)
+                + 0.01 * rng.randn(n)).astype(np.float32)
+
+    xs = [chirp(2500, 130.0, 0.8), chirp(4000, 150.0, 0.7),
+          chirp(2900, 170.0, 0.9)]
+    # quantum 3072/fs: buckets 3072 (rows 0 and 2) and 6144 (row 1)
+    q = 3072 / fs
+    mixed = batch_encode_decode_ragged(xs, fs, frame_period=10,
+                                       bucket_quantum_s=q)
+    for i, x in enumerate(xs):
+        single = batch_encode_decode_ragged([x], fs, frame_period=10,
+                                            bucket_quantum_s=q)[0]
+        nf = int(1000 * len(x) / fs / 10 + 1)
+        assert mixed[i]["f0"].shape == (nf,)
+        # the repo's batched-vs-single contract (test_batched_bitwise):
+        # decisions bitwise, values ulp-tight, waveform energy-bounded
+        np.testing.assert_array_equal(mixed[i]["vuv"], single["vuv"])
+        assert np.abs(mixed[i]["f0"] - single["f0"]).max() < 1e-3
+        rel = (np.linalg.norm(mixed[i]["y"] - single["y"])
+               / max(np.linalg.norm(single["y"]), 1e-30))
+        assert rel < 1e-2, f"row {i}: waveform rel-L2 {rel:.2e}"
+        ddb = np.abs(10 * np.log10(mixed[i]["spectrogram"] + 1e-12)
+                     - 10 * np.log10(single["spectrogram"] + 1e-12)).max()
+        assert ddb < 0.05, f"row {i}: envelope drift {ddb:.3f} dB"
+    # content sanity: each row's own voiced fraction and f0 glide found
+    for i, f_lo in ((0, 130.0), (1, 150.0), (2, 170.0)):
+        f0 = mixed[i]["f0"]
+        assert (f0 > 0).mean() > 0.3, i
+        med = np.median(f0[f0 > 0])
+        assert f_lo - 10 < med < f_lo + 50, (i, med)

@@ -231,3 +231,21 @@ def test_prod_diff_compensated_f32():
     want = np.asarray(jax.jit(lambda a, b, c, d: a * b - c * d)(a, b, c, d))
     got = np.asarray(jax.jit(prod_diff)(a, b, c, d))
     assert np.array_equal(want, got)
+
+
+def test_cos_reduced_f32_cos_grade():
+    """ops.cos_reduced must hold f32-cos-grade accuracy (<= 3e-7 abs) over
+    both window-argument ranges (|u| <= 1.15*pi for the Blackman c2 term,
+    |u| <= 2.3*pi for c4) — the predecessor bounded polynomial's real f32
+    error was ~2e-6 (and ~7e-6 after double-angle), which drove the 16 kHz
+    TPU-vs-f64 candidate-score flips."""
+    import jax
+
+    from world_tpu.ops import cos_reduced
+
+    for span in (1.15 * np.pi, 2.3 * np.pi):
+        u64 = np.linspace(-span, span, 200001)
+        u = jnp.asarray(u64, jnp.float32)
+        got = np.asarray(jax.jit(cos_reduced)(u), np.float64)
+        want = np.cos(np.asarray(u, np.float64))
+        assert np.abs(got - want).max() < 3e-7, span

@@ -1,6 +1,7 @@
-"""xRT benchmark for every BASELINE.md config on the real TPU.
+"""xRT benchmark for every BASELINE.md config on the real TPU — golden-gated.
 
-Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_paths.py
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_paths.py \
+           [out.json]
 
 Measures per-chip throughput (audio-seconds per wall second) for:
   * dio+stonemask+cheaptrick+d4c encode      (BASELINE config 1, ref 2.79 s)
@@ -9,11 +10,18 @@ Measures per-chip throughput (audio-seconds per wall second) for:
     ref 27.2 s + 0.32 s — the bench.py headline)
   * swipe get_f0                              (BASELINE config 7, ref 0.56 s)
 
+Every path carries a golden GATE (bench.py:68-85 discipline): the f0 output
+of the timed program must meet its f64-reference golden bar ON DEVICE, or the
+path's number is reported with gate: FAIL.  A number without a parity check
+is a number, not a result.
+
 Timing discipline per tools/axon_timing.py: enqueue K calls back-to-back,
 pay ONE checksum fetch (block_until_ready does not sync through the axon
-tunnel).  Prints a JSON table at the end.
+tunnel).  Prints a JSON table at the end (and writes it to ``out.json`` when
+given).
 """
 import json
+import sys
 import time
 
 import numpy as np
@@ -54,7 +62,31 @@ def throughput(fn, args, audio_seconds, utts=1, K=16, reps=3):
         wall = time.perf_counter() - t0
         best = wall if best is None else min(best, wall)
     per_call = best / K
-    return audio_seconds * utts / per_call, per_call
+    return audio_seconds * utts / per_call, per_call, out
+
+
+def gate_f0_vs(f0, golden_f0, vuv_bar, rmse_bar, trim=False):
+    """verify_tpu.py's f0 bar: vuv agreement + voiced RMSE vs an f64 golden.
+
+    ``trim``: gate the 99%-trimmed RMSE instead of the full RMSE (the dio+
+    stonemask path's full RMSE is a backend-independent f32 decision-boundary
+    tail — CPU-f32 measures the same 1.95 Hz; see verify_tpu.py's dio bars)."""
+    f0 = np.asarray(f0, np.float64)
+    vp, vg = f0 > 0, np.asarray(golden_f0) > 0
+    agree = float(np.mean(vp == vg))
+    both = vp & vg
+    d = np.abs(f0[both] - np.asarray(golden_f0)[both])
+    rmse = float(np.sqrt(np.mean(d ** 2)))
+    gated = rmse
+    detail = {"vuv_agree": round(agree, 4), "f0_rmse_hz": round(rmse, 3),
+              "bars": f"vuv>{vuv_bar}, rmse<{rmse_bar}Hz"}
+    if trim:
+        gated = float(np.sqrt(np.mean(np.sort(d)[: max(1, int(0.99 * d.size))]
+                                      ** 2)))
+        detail["f0_trimmed99_rmse_hz"] = round(gated, 3)
+        detail["bars"] = f"vuv>{vuv_bar}, trimmed99-rmse<{rmse_bar}Hz"
+    ok = agree > vuv_bar and gated < rmse_bar
+    return ("PASS" if ok else "FAIL", detail)
 
 
 def main():
@@ -65,28 +97,44 @@ def main():
     xj = jnp.asarray(x)
     key = jax.random.PRNGKey(0)
 
+    g_sm = np.load("/root/repo/tests/golden/stonemask.npz")
+    g_hv = np.load("/root/repo/tests/golden/harvest.npz")
+    g_sw = np.load("/root/repo/tests/golden/swipe.npz")
+
     results = {}
 
     # --- config 1: dio+stonemask encode ---------------------------------
     enc = jax.jit(lambda x: _encode_classic_one(x, fs=fs, frame_period=5))
     t0 = time.perf_counter()
-    xrt, per = throughput(enc, (xj,), audio_s)
-    results["dio_encode"] = {"xrt": round(xrt, 1), "ms_per_call":
-                             round(per * 1000, 2),
-                             "ref_s": 2.79, "speedup": round(xrt / (audio_s / 2.79), 1)}
+    xrt, per, out = throughput(enc, (xj,), audio_s)
+    gate, detail = gate_f0_vs(out["f0"], g_sm["refined_f0"], 0.98, 1.0, trim=True)
+    results["dio_encode"] = {"xrt": round(xrt, 1),
+                             "ms_per_call": round(per * 1000, 2),
+                             "ref_s": 2.79,
+                             "speedup": round(xrt / (audio_s / 2.79), 1),
+                             "gate": gate, "gate_detail": detail}
     print(f"dio encode        {xrt:9.1f} xRT  ({per*1000:6.1f} ms)  "
+          f"gate {gate} {detail}  "
           f"[{time.perf_counter()-t0:.0f}s incl compile]", flush=True)
 
     # --- config 2: classic round-trip ------------------------------------
     rt = jax.jit(lambda x, k: _encode_decode_classic_one(x, k, fs=fs,
                                                          frame_period=5))
     t0 = time.perf_counter()
-    xrt, per = throughput(rt, (xj, key), audio_s)
+    xrt, per, out = throughput(rt, (xj, key), audio_s)
+    gate, detail = gate_f0_vs(out["f0"], g_sm["refined_f0"], 0.98, 1.0, trim=True)
+    y = np.asarray(out["y"], np.float64)
+    rms = float(np.sqrt(np.mean(y ** 2)))
+    if not (np.all(np.isfinite(y)) and 0.03 < rms < 0.3):
+        gate = "FAIL"
+    detail["y_rms"] = round(rms, 4)
     results["classic_roundtrip"] = {"xrt": round(xrt, 1),
                                     "ms_per_call": round(per * 1000, 2),
                                     "ref_s": 2.79 + 0.61,
-                                    "speedup": round(xrt / (audio_s / 3.40), 1)}
+                                    "speedup": round(xrt / (audio_s / 3.40), 1),
+                                    "gate": gate, "gate_detail": detail}
     print(f"classic roundtrip {xrt:9.1f} xRT  ({per*1000:6.1f} ms)  "
+          f"gate {gate} {detail}  "
           f"[{time.perf_counter()-t0:.0f}s incl compile]", flush=True)
 
     # --- configs 3/6: harvest + requiem round-trip ------------------------
@@ -99,11 +147,19 @@ def main():
         x, p, n, fs=fs, frame_period=5, max_pulses=8192,
         max_candidates=max_candidates, max_sections=256))
     t0 = time.perf_counter()
-    xrt, per = throughput(hv, (xj, pulse, noise), audio_s)
+    xrt, per, out = throughput(hv, (xj, pulse, noise), audio_s)
+    gate, detail = gate_f0_vs(out["f0"], g_hv["f0"], 0.99, 1.0)
+    y = np.asarray(out["y"], np.float64)
+    rms = float(np.sqrt(np.mean(y ** 2)))
+    if not (np.all(np.isfinite(y)) and 0.03 < rms < 0.3):
+        gate = "FAIL"
+    detail["y_rms"] = round(rms, 4)
     results["harvest_requiem_roundtrip"] = {
         "xrt": round(xrt, 1), "ms_per_call": round(per * 1000, 2),
-        "ref_s": 27.2 + 0.32, "speedup": round(xrt / (audio_s / 27.52), 1)}
+        "ref_s": 27.2 + 0.32, "speedup": round(xrt / (audio_s / 27.52), 1),
+        "gate": gate, "gate_detail": detail}
     print(f"harvest roundtrip {xrt:9.1f} xRT  ({per*1000:6.1f} ms)  "
+          f"gate {gate} {detail}  "
           f"[{time.perf_counter()-t0:.0f}s incl compile]", flush=True)
 
     # --- config 7: swipe get_f0 -------------------------------------------
@@ -112,14 +168,46 @@ def main():
     t = jnp.asarray(np.arange(num_samples) * 0.005, jnp.float32)
     sw = jax.jit(lambda x: _swipe_core(x, cfg, float(fs), t, 0.3))
     t0 = time.perf_counter()
-    xrt, per = throughput(sw, (xj,), audio_s)
+    xrt, per, out = throughput(sw, (xj,), audio_s)
+    f0s = np.asarray(out["f0"], np.float64)
+    f0g = np.asarray(g_sw["f0"], np.float64)
+    vp, vg = f0s > 0, f0g > 0
+    vuv_agree = float(np.mean(vp == vg))
+    both = vp & vg
+    rel = np.abs(f0s[both] - f0g[both]) / f0g[both]
+    med = float(np.median(rel))
+    pct1 = float(np.mean(rel < 0.01))
+    # tests/test_swipe.py's CPU bars, with the median widened 10x for f32
+    gate = ("PASS" if vuv_agree > 0.97 and med < 1e-3 and pct1 > 0.97
+            else "FAIL")
+    detail = {"vuv_agree": round(vuv_agree, 4), "median_rel": f"{med:.2e}",
+              "pct_within_1pct": round(pct1, 4),
+              "bars": "vuv>0.97, med<1e-3, 1pct>0.97"}
     results["swipe_f0"] = {"xrt": round(xrt, 1),
                            "ms_per_call": round(per * 1000, 2),
-                           "ref_s": 0.56, "speedup": round(xrt / (audio_s / 0.56), 1)}
+                           "ref_s": 0.56,
+                           "speedup": round(xrt / (audio_s / 0.56), 1),
+                           "gate": gate, "gate_detail": detail}
     print(f"swipe get_f0      {xrt:9.1f} xRT  ({per*1000:6.1f} ms)  "
+          f"gate {gate} {detail}  "
           f"[{time.perf_counter()-t0:.0f}s incl compile]", flush=True)
 
-    print(json.dumps(results, indent=2))
+    doc = {
+        "hardware": f"1x {jax.devices()[0].device_kind} "
+                    f"({jax.default_backend()} backend)",
+        "fixture": "/root/reference/test/test-mwm.wav "
+                   f"({fs} Hz, {audio_s:.3f} s)",
+        "timing": "best of 3 reps of 16 back-to-back enqueues, "
+                  "one checksum fetch",
+        "gates": "per-path f64-reference golden bars evaluated on the timed "
+                 "program's own device outputs",
+        "paths": results,
+    }
+    print(json.dumps(doc, indent=2))
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as f:
+            json.dump(doc, f, indent=2)
+            f.write("\n")
 
 
 if __name__ == "__main__":

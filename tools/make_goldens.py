@@ -310,6 +310,21 @@ def gen_requiem(source):
                         pulse_seed=seeds["pulse"], noise_seed=seeds["noise"], y=y)
 
 
+def gen_swipe():
+    """SWIPE' f0 golden (reference swipe.py:9-102) for the on-device gate in
+    tools/bench_paths.py — tests/test_swipe.py drives the live shim instead,
+    but the TPU bench needs a committed oracle."""
+    ref_shim.reference_world()
+    from world import swipe as RS
+
+    fs, x = load_x()
+    t0 = time.time()
+    ref = RS.swipe(fs, x, [71, 800], 0.005, 0.3)
+    print(f"swipe done in {time.time()-t0:.1f}s")
+    np.savez_compressed(GOLDEN / "swipe.npz", f0=ref["f0"],
+                        temporal_positions=ref["temporal_positions"])
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     dio_out = None
@@ -331,6 +346,8 @@ def main():
     if which in ("requiem", "all"):
         g = np.load(GOLDEN / "source_harvest.npz")
         gen_requiem({k: g[k] for k in g.files})
+    if which in ("swipe", "all"):
+        gen_swipe()
     print("goldens written to", GOLDEN)
 
 

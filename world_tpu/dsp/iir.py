@@ -92,11 +92,13 @@ def _linear_recurrence_impl(A, bx, s0=None):
 from jax.custom_batching import custom_vmap  # noqa: E402
 
 
-def _linrec_fold_rule(fn, has_s0, axis_size, in_batched, A, *rest):
+def _linrec_fold_rule(fn, axis_size, in_batched, A, *rest):
     """custom_vmap rule: run each batch element through the SAME program the
     single-stream call compiles (unrolled — scan codegen, and hence FMA
     placement, depends on the row count L, so batch rows must execute at the
-    single-stream L, not at L*B)."""
+    single-stream L, not at L*B).  The unroll makes compile time linear in
+    the batch axis size; fine at serving batches (<=16 tested), but a very
+    large vmapped batch pays a long trace."""
     if in_batched[0]:  # per-row A matrices never occur here (static coeffs)
         raise NotImplementedError("vmap over filter coefficients")
 
@@ -119,7 +121,7 @@ def _linrec_cv(A, bx):
 
 @_linrec_cv.def_vmap
 def _linrec_cv_rule(axis_size, in_batched, A, bx):
-    return _linrec_fold_rule(_linrec_cv, False, axis_size, in_batched, A, bx)
+    return _linrec_fold_rule(_linrec_cv, axis_size, in_batched, A, bx)
 
 
 @custom_vmap
@@ -130,8 +132,7 @@ def _linrec_cv_s0(A, bx, s0):
 
 @_linrec_cv_s0.def_vmap
 def _linrec_cv_s0_rule(axis_size, in_batched, A, bx, s0):
-    return _linrec_fold_rule(_linrec_cv_s0, True, axis_size, in_batched,
-                             A, bx, s0)
+    return _linrec_fold_rule(_linrec_cv_s0, axis_size, in_batched, A, bx, s0)
 
 
 @functools.lru_cache(maxsize=None)
@@ -203,7 +204,9 @@ def _fir_conv_cv(xp, H):
 @_fir_conv_cv.def_vmap
 def _fir_conv_cv_rule(axis_size, in_batched, xp, H):
     if in_batched[1]:
-        H = H[0]
+        # per-row Toeplitz kernels never occur here (static filter designs);
+        # silently taking H[0] would apply row 0's filter to every row
+        raise NotImplementedError("vmap over Toeplitz filter kernels")
     outs = [_fir_conv_cv(xp[i] if in_batched[0] else xp, H)
             for i in range(axis_size)]
     return jnp.stack(outs), True
@@ -290,8 +293,9 @@ def filtfilt(b, a, x, padlen):
     Matches the reference decimator (/root/reference/world/harvest.py:599-603)
     which calls filtfilt with an explicit padlen.  Each pass's
     ``zi = lfilter_zi * x0`` initialization IS the constant-x0-prehistory
-    filter, so both passes run as truncated-FIR FFT convolutions
-    (:func:`_fir_causal`) — exact to the f64 tail, no sequential scan.
+    filter, so both passes run as truncated-FIR Toeplitz matmuls
+    (overlap-save, :func:`_fir_causal`) — exact to the f64 tail, no
+    sequential scan.
     """
     x = jnp.asarray(x)
     # odd extension (products pinned: 2*x - rev must not contract into FMA)
@@ -368,7 +372,8 @@ def _filter_for_decimate(x, r: int):
                 y_t = b0 w_t + b1 w_{t-1} + b1 w_{t-2} + b0 w_{t-3},
     i.e. transfer (b0 + b1 z^-1 + b1 z^-2 + b0 z^-3) /
     (1 - a0 z^-1 - a1 z^-2 - a2 z^-3) from ZERO state — run as a
-    truncated-FIR FFT convolution (:func:`_fir_causal`, pre=0).
+    truncated-FIR Toeplitz matmul (overlap-save, :func:`_fir_causal`,
+    pre=0).
     """
     a, b = _DECIMATE_COEFFS.get(r, ((0.0, 0.0, 0.0), (0.0, 0.0)))
     x = jnp.asarray(x)

@@ -78,10 +78,20 @@ def _refine_one(x, fs, current_time, current_f0, max_half: int):
     seg_diff = seg * diff_window
 
     def harmonic_pass(f0_est, trim_index):
+        from ..ops import prod_diff
+
         bins = round_matlab(f0_est * fft_size / fs * trim_index)  # then +1, 1-based
         re_s, im_s = _dft_bins(seg_main, bins, fft_size)
         re_d, im_d = _dft_bins(seg_diff, bins, fft_size)
-        numerator_i = re_s * im_d - im_s * re_d
+        # compensated in f32: same cancellation-prone difference of products
+        # as harvest's IF numerator (ops.prod_diff docstring).  NOTE: this is
+        # hygiene, not the cause of the dio path's ~1.95 Hz f32-vs-f64 RMSE —
+        # that tail was measured IDENTICAL on CPU-f32 and TPU-f32 and comes
+        # from decision-boundary chaos (the 20%-change rejection at :98 and
+        # integer bin rounding at :81 feeding pass 2), not from arithmetic
+        # noise; median frame error is 6e-4 Hz (see PERF_NOTES.md, dio
+        # residual).
+        numerator_i = prod_diff(re_s, im_d, im_s, re_d)
         power = re_s ** 2 + im_s ** 2
         power = jnp.maximum(power, eps)
         fx = bins / fft_size * fs

@@ -16,16 +16,16 @@ from .dsp.rounding import round_matlab
 
 
 def _adaptive_window_values(time_axis, f0, window_type: str):
-    """Hann/Blackman values at time_axis*f0.  In f32 the Blackman second
-    cosine uses the double-angle identity (halves the dominant
-    transcendental count on TPU); f64 keeps the reference's two-cos form
-    bit-for-bit."""
+    """Hann/Blackman values at time_axis*f0.  In f32 both cosines use the
+    range-reduced polynomial (ops.cos_reduced, f32-cos-grade 1.8e-7 error at
+    ~16 VPU ops); f64 keeps the reference's two-cos form bit-for-bit."""
     arg = jnp.pi * time_axis * f0
     if arg.dtype == jnp.float32:
-        # |arg| <= ~pi inside the window mask; masked lanes tolerate the
-        # polynomial's out-of-range garbage
-        from .ops import cos_bounded
-        c1 = cos_bounded(arg)
+        # |arg| <= ~pi inside the window mask (2*arg <= ~2.2*pi for the
+        # Blackman second cosine — inside cos_reduced's reduction range);
+        # masked lanes tolerate out-of-range garbage
+        from .ops import cos_reduced
+        c1 = cos_reduced(arg)
     else:
         c1 = jnp.cos(arg)
     if window_type == "hanning":
@@ -33,7 +33,7 @@ def _adaptive_window_values(time_axis, f0, window_type: str):
     if window_type != "blackman":
         raise ValueError(window_type)
     if arg.dtype == jnp.float32:
-        c2 = 2.0 * c1 * c1 - 1.0
+        c2 = cos_reduced(2 * arg)
     else:
         c2 = jnp.cos(2 * arg)
     return 0.08 * c2 + 0.5 * c1 + 0.42

@@ -4,6 +4,7 @@ Each kernel has a pure-XLA twin used on CPU backends (and as the oracle in
 tests); the Pallas path activates on TPU-class backends only.
 """
 import jax
+import numpy as np
 
 
 def on_tpu() -> bool:
@@ -100,18 +101,33 @@ def prod_diff(a, b, c, d):
     return acc
 
 
-def cos_bounded(u):
-    """cos(u) for |u| <= ~1.1*pi as a degree-12 even polynomial
-    (max abs err 1.3e-7 — f32 ulp scale).
+_PI_HI = 3.1416015625           # 12-bit-truncated pi: k*_PI_HI exact, |k|<=4
+_PI_LO1 = -8.908910206761537e-06
+_PI_LO2 = -3.3040238729429614e-13
 
-    Mosaic's transcendental cos costs ~40 VPU ops/element with full range
-    reduction; bounded window arguments need none.  Outside the fitted range
-    the value is finite garbage — callers mask those lanes anyway."""
-    t = u * u
-    c = (9.999999716352e-01, -4.999997495959e-01, 4.166630839832e-02,
-         -1.388697544634e-03, 2.475300844692e-05, -2.692248441169e-07,
-         1.670576848763e-09)
-    acc = c[6]
-    for k in (5, 4, 3, 2, 1, 0):
-        acc = acc * t + c[k]
-    return acc
+
+def cos_reduced(u):
+    """cos(u) for |u| <= ~4*pi: Cody-Waite reduction (3-term pi split) +
+    a degree-10 even minimax polynomial on [-pi/2, pi/2].
+
+    Max abs error 1.8e-7 over |u| <= 2.3*pi — f32-cos grade (np.cos f32 is
+    1.4e-7) at ~16 VPU ops/element vs ~40 for Mosaic's transcendental cos
+    with full range reduction.  This replaced a reduction-free bounded
+    polynomial whose REAL f32 Horner error was ~2e-6 (and ~7e-6 after a
+    double-angle step): that window noise was measured to be the dominant
+    TPU-vs-f64 refinement-score noise behind the 16 kHz vuv flips —
+    50x the CPU backend's cos error, amplified ~16x into candidate scores."""
+    import jax.numpy as jnp
+
+    k = jnp.round(u * (1.0 / np.pi))
+    r = ((u - k * _PI_HI) - k * _PI_LO1) - k * _PI_LO2
+    t = r * r
+    c = (9.999999997522e-01, -4.999999929029e-01, 4.166663371258e-02,
+         -1.388832879127e-03, 2.475848205674e-05, -2.602158942983e-07)
+    acc = c[5]
+    for i in (4, 3, 2, 1, 0):
+        acc = acc * t + c[i]
+    # (-1)^k without integer ops: frac(k/2) is 0 (even) or 0.5 (odd)
+    half = k * 0.5
+    sign = 1.0 - 4.0 * (half - jnp.floor(half))
+    return sign * acc

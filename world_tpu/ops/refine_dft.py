@@ -57,9 +57,13 @@ def _windows(phase, f0, actual_fs, max_half, base_abs, fast_cos=False):
     mask = base_abs <= half
     common = jnp.pi * phase / wlt
     if fast_cos and dtype == jnp.float32:
-        from . import cos_bounded
-        c2 = cos_bounded(2 * common)   # |2*common| <= ~pi inside the mask
-        c4 = 2.0 * c2 * c2 - 1.0
+        from . import cos_reduced
+        # direct evaluation at both arguments (|2*common| <= ~1.1*pi,
+        # |4*common| <= ~2.2*pi — inside cos_reduced's range): a double-angle
+        # step would amplify the c2 error ~4x, and that window noise was
+        # measured to drive the 16 kHz TPU-vs-f64 candidate-score flips
+        c2 = cos_reduced(2 * common)
+        c4 = cos_reduced(4 * common)
     elif fast_cos:
         c2 = jnp.cos(2 * common)
         c4 = 2.0 * c2 * c2 - 1.0

@@ -176,6 +176,63 @@ def batch_encode_decode(xs, fs: int, mesh: Mesh = None, frame_period: int = 5,
     return out
 
 
+def batch_encode_decode_ragged(xs, fs: int, mesh: Mesh = None,
+                               frame_period: int = 5, seed: int = 0,
+                               bucket_quantum_s: float = 1.0,
+                               check_capacity: bool = True):
+    """Full encode+decode for a RAGGED batch (unequal-length utterances).
+
+    A real serving batch is ragged; the reference has no batch API at all.
+    Utterances are grouped into length buckets (padded up to the next
+    multiple of ``bucket_quantum_s`` seconds), each bucket runs through
+    :func:`batch_encode_decode` as one rectangular program, and outputs are
+    stripped back to each utterance's own frame/sample counts.
+
+    Semantics: each utterance is analyzed as if zero-padded to its bucket
+    length.  All-zeros tails analyze as unvoiced (asserted by
+    tools/verify_tpu.py's zeros check), and the stripped outputs cover only
+    the utterance's own duration.  Within a bucket, rows are bitwise
+    identical to a single-stream run at the same padded length (the
+    determinism contract of dsp/iir.py's rank canonicalization) — asserted
+    row-for-row by tests/test_aux.py.
+
+    Returns a list of per-utterance dicts (f0, vuv, spectrogram,
+    band_aperiodicity, y), in input order.
+    """
+    xs = [np.asarray(x, np.float32) for x in xs]
+    lens = [int(x.shape[0]) for x in xs]
+    fp = int(frame_period)
+    quantum = max(1, int(round(bucket_quantum_s * fs)))
+    buckets = {}
+    for i, n in enumerate(lens):
+        L = max(quantum, -(-n // quantum) * quantum)
+        buckets.setdefault(L, []).append(i)
+
+    n_dev = mesh.devices.size if mesh is not None else 1
+    results = [None] * len(xs)
+    for L, idxs in sorted(buckets.items()):
+        rows = len(idxs)
+        pad_rows = (-rows) % n_dev   # shard_map needs divisibility
+        xb = np.zeros((rows + pad_rows, L), np.float32)
+        for r, i in enumerate(idxs):
+            xb[r, : lens[i]] = xs[i]
+        out = batch_encode_decode(xb, fs, mesh=mesh, frame_period=fp,
+                                  seed=seed, check_capacity=check_capacity)
+        for r, i in enumerate(idxs):
+            n_i = lens[i]
+            nf = int(1000 * n_i / fs / fp + 1)
+            y_len = int(np.floor((nf - 1) * fp / 1000 * fs)) + 1
+            results[i] = {
+                "f0": np.asarray(out["f0"][r])[:nf],
+                "vuv": np.asarray(out["vuv"][r])[:nf],
+                "spectrogram": np.asarray(out["spectrogram"][r])[:nf],
+                "band_aperiodicity":
+                    np.asarray(out["band_aperiodicity"][r])[:nf],
+                "y": np.asarray(out["y"][r])[:y_len],
+            }
+    return results
+
+
 def _warn_batch_capacity(overflow, max_sections, max_pulses):
     """Surface per-utterance static-table saturation (the reference's tables
     are unbounded, /root/reference/world/harvest.py:88-110; ours are static
