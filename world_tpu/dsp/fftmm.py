@@ -25,9 +25,16 @@ import numpy as np
 
 from ..ops import on_tpu
 
-# DEFAULT measured == full precision here and is fuse-friendly; see dsp.fir
-# for the one case where an explicit pin is required
-_PH = None
+# HIGHEST: on TPU, DEFAULT einsums run one bf16 MXU pass — an fftmm
+# rfft/irfft ROUNDTRIP measured 7.4e-3 relative error on device (r5), i.e.
+# every FFT consumer (SmoothF0's contour convolution, CheapTrick's cepstral
+# smoothing, the synthesis spectra/OLA) was quantizing its data to 8
+# mantissa bits.  SmoothF0 alone put ~0.5 Hz of noise on the on-device f0
+# contour (the r4 "0.473 Hz harvest RMSE" was mostly this).  HIGHEST makes
+# the twiddle matmuls f32-exact via 3-term operand splits; the earlier
+# "DEFAULT == full precision" note was measured on the CPU backend, where
+# DEFAULT already is f32.
+_PH = jax.lax.Precision.HIGHEST
 
 
 @lru_cache(maxsize=None)

@@ -78,8 +78,15 @@ def uniform_frames(x, stride_samples: float, n_frames: int, width: int,
         c_b = (bres * pnum) // qden
         s = pl + c_b + rel_start
         seg = xpad[s : s + (a_count - 1) * pnum + width]
+        # precision=HIGHEST: on TPU this identity conv otherwise runs one
+        # bf16 MXU pass that QUANTIZES THE SIGNAL ITSELF to 8 mantissa bits
+        # (~2e-3 of peak) — measured r5 as the dominant TPU-vs-CPU noise in
+        # every windowed analysis stage (refinement scores inherited ~5e-3
+        # relative noise, driving the 16 kHz candidate flips).  With HIGHEST
+        # the 3-term operand split makes the extraction bitwise exact.
         p = lax.conv_general_dilated_patches(
-            seg[None, None, :], (width,), (pnum,), "VALID")  # (1, width, a)
+            seg[None, None, :], (width,), (pnum,), "VALID",
+            precision=lax.Precision.HIGHEST)                  # (1, width, a)
         outs.append(p[0].T)                                   # (a, width)
     grid = jnp.stack(outs, axis=1)                            # (a, qden, width)
     return grid.reshape(-1, width)[:n_frames]

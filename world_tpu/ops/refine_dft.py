@@ -247,7 +247,10 @@ def refine_full_xla(seg, phase, f0, basis, actual_fs, max_half, nb,
                       jnp.abs(base_index)[None, None, :])
     X = jnp.concatenate([(seg[None] * mw).reshape(-1, W),
                          (seg[None] * dw).reshape(-1, W)])
-    spec = jnp.dot(X, basis, preferred_element_type=dtype)  # (2CB, 2nb)
+    # HIGHEST: inert on CPU (DEFAULT is already f32 there), but the twin must
+    # not silently run a bf16 pass if ever dispatched on a TPU backend
+    spec = jnp.dot(X, basis, preferred_element_type=dtype,
+                   precision=jax.lax.Precision.HIGHEST)  # (2CB, 2nb)
     quads = jnp.stack([spec[: C * B, :nb], spec[: C * B, nb:],
                        spec[C * B :, :nb], spec[C * B :, nb:]], axis=1)
 
