@@ -25,16 +25,24 @@ import numpy as np
 
 from ..ops import on_tpu
 
-# HIGHEST: on TPU, DEFAULT einsums run one bf16 MXU pass — an fftmm
-# rfft/irfft ROUNDTRIP measured 7.4e-3 relative error on device (r5), i.e.
-# every FFT consumer (SmoothF0's contour convolution, CheapTrick's cepstral
-# smoothing, the synthesis spectra/OLA) was quantizing its data to 8
-# mantissa bits.  SmoothF0 alone put ~0.5 Hz of noise on the on-device f0
-# contour (the r4 "0.473 Hz harvest RMSE" was mostly this).  HIGHEST makes
-# the twiddle matmuls f32-exact via 3-term operand splits; the earlier
-# "DEFAULT == full precision" note was measured on the CPU backend, where
-# DEFAULT already is f32.
-_PH = jax.lax.Precision.HIGHEST
+# Twiddle-matmul precision.  On TPU, DEFAULT einsums run one bf16 MXU pass
+# — an fftmm rfft/irfft ROUNDTRIP measured 7.4e-3 relative error on device
+# (r5), i.e. every FFT consumer (SmoothF0's contour convolution,
+# CheapTrick's cepstral smoothing, the synthesis spectra/OLA) was
+# quantizing its data to 8 mantissa bits; SmoothF0 alone put ~0.5 Hz of
+# noise on the on-device f0 contour (most of the r4 "0.473 Hz harvest
+# RMSE").  HIGH (2-term operand splits, ~2^-16 relative, half the MXU
+# passes of HIGHEST) is the default: measured on device r5 it holds the
+# strict golden bars at both sample rates — 0 vuv flips, voiced F0 RMSE
+# 0.0013 Hz (22.05 kHz) / 0.0161 Hz (16 kHz, identical to HIGHEST's) —
+# the decision-critical dots (refinement) carry their own HIGHEST pins.
+# The env override exists for A/B gates (tools/probe_precision.py).
+import os as _os
+
+_PH = {"highest": jax.lax.Precision.HIGHEST,
+       "high": jax.lax.Precision.HIGH,
+       "default": jax.lax.Precision.DEFAULT}[
+    _os.environ.get("WORLD_TPU_FFT_PRECISION", "high")]
 
 
 @lru_cache(maxsize=None)

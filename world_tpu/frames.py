@@ -84,6 +84,11 @@ def uniform_frames(x, stride_samples: float, n_frames: int, width: int,
         # every windowed analysis stage (refinement scores inherited ~5e-3
         # relative noise, driving the 16 kHz candidate flips).  With HIGHEST
         # the 3-term operand split makes the extraction bitwise exact.
+        # (A hand-rolled ops._split3_f32 + 3 DEFAULT passes was tried r5 to
+        # halve the MXU passes: --xla_allow_excess_precision contracts the
+        # split's casts outside Pallas, so the parts reaching the conv are
+        # NOT an exact bf16 trio — measured 7.8e-3 extraction error on
+        # device.  Extraction is <0.3 ms of the pipeline; HIGHEST stays.)
         p = lax.conv_general_dilated_patches(
             seg[None, None, :], (width,), (pnum,), "VALID",
             precision=lax.Precision.HIGHEST)                  # (1, width, a)

@@ -7,7 +7,9 @@ pipeline as ONE Pallas kernel per (row-tile, full-length) VMEM tile:
 
 1. **chains** — crossing mask + sub-sample edge positions -> 4 previous-edge
    + 5 next-edge running max/min chains via log-doubling rolls, entirely in
-   VMEM.
+   VMEM.  Each chain is a two-level scan: log2(_LB) local doubling rounds
+   plus a cross-block prefix on per-block maxima obtained by a lane-dim
+   reshape + max-reduce (exact — max is order-independent).
 
 2. **sampling** — the chains are read at the uniform frame grid (rational
    stride ``pnum/qden`` samples per frame).  With ``QB`` a multiple of
@@ -33,6 +35,7 @@ Semantics match batched_interval_interp exactly (same chain reductions, same
 sampling indices ``floor(q*pnum/qden) - margin`` with edge clipping, same
 selection arithmetic).
 """
+import os
 from fractions import Fraction
 from functools import partial
 
@@ -53,7 +56,11 @@ _BIG = 1e30         # finite missing-edge sentinel (matmul-safe)
 
 
 def _shift_fwd(v, s, fill, col):
-    """v shifted right by s along the last axis, first s columns = fill."""
+    """v shifted right by s along the last axis, first s columns = fill.
+
+    roll + masked select; a concatenate-based shift (head fill + static
+    slice) was tried r5 and crashes Mosaic on unaligned widths ("offset
+    mismatch on non-concat dimension")."""
     rolled = pltpu.roll(v, s, axis=1)
     return jnp.where(col < s, fill, rolled)
 
@@ -74,47 +81,46 @@ def _cummax(v, neg, col, reverse=False):
     return v
 
 
-_LB = 512           # lane-block size of the two-level cummax
+# lane-block size of the two-level cummax and frames-per-sampling-block
+# target.  Both knobs are bitwise-neutral (block maxima are exact max
+# reorderings; sampling picks exactly one window entry per column), so the
+# env overrides exist for on-device tuning sweeps (tools/
+# profile_event_kernel.py) without perturbing results.
+_LB = int(os.environ.get("WORLD_TPU_EVENT_LB", "512"))
 
 
-def _onehot_dot(a, b_bf16):
-    """Exact a @ onehot for f32 ``a`` (3-term bf16 split; the one-hot side
-    has no low part) — plain dot for other dtypes (interpret/f64)."""
-    if a.dtype != jnp.float32:
-        return jax.lax.dot(a, b_bf16.astype(a.dtype),
-                           preferred_element_type=a.dtype)
-    from . import _split3_f32
+def _cummax_2l(v, neg, col, col2, reverse=False):
+    """Running max via local doubling rounds (window _LB) + a tiny
+    cross-block prefix: block maxima come from a lane-dim reshape +
+    max-reduce of the RAW input (max over a block is direction- and
+    order-independent, so this is bitwise-identical to scanning), the
+    exclusive cross-block prefix runs on the small (R, n_blocks) array,
+    and the broadcast back to lanes is a reshape of a minor-dim broadcast.
 
-    out = None
-    for part in _split3_f32(a):
-        d = jax.lax.dot(part, b_bf16, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.DEFAULT)
-        out = d if out is None else out + d
-    return out
-
-
-def _cummax_2l(v, neg, col, col2, ext, expm, reverse=False):
-    """Running max via 9 local doubling rounds (window _LB) + a tiny
-    cross-block prefix: after the local rounds every block-end (fwd) /
-    block-start (rev) lane holds its block's max, so the long-range half of
-    the scan runs on an (R, n_blocks) array extracted and re-broadcast with
-    exact one-hot matmuls — 7 of 16 full-width roll rounds disappear.
-
-    ext (n, nb2) extracts block ends (fwd) or starts (rev); expm (nb2, n)
-    maps each lane to its own block (broadcast of the exclusive prefix)."""
+    An earlier version extracted/re-broadcast the block array with exact
+    one-hot MXU matmuls — at R = blk = 16 rows those dots ran the 128x128
+    systolic array at ~12% utilization and dominated the kernel's gap to
+    its VPU roofline; the reshape path never touches the MXU."""
     n = v.shape[-1]
     if n <= _LB:
         return _cummax(v, neg, col, reverse)
+    R = v.shape[0]
+    nb2 = col2.shape[1]          # 128-lane-aligned block-array width
+    padw = nb2 * _LB - n
+    vp = v if not padw else jnp.concatenate(
+        [v, jnp.broadcast_to(neg, (R, padw)).astype(v.dtype)], axis=1)
+    blocks = jnp.max(vp.reshape(R, nb2, _LB), axis=-1)   # (R, nb2)
     s = 1
     while s < _LB:
         v = jnp.maximum(v, _shift_rev(v, s, neg, col) if reverse
                         else _shift_fwd(v, s, neg, col))
         s *= 2
-    blocks = _onehot_dot(v, ext)                     # (R, nb2) block maxima
     pre = _cummax(blocks, neg, col2, reverse)
     pre = (_shift_rev(pre, 1, neg, col2) if reverse  # exclusive: P_{k-1}/S_{k+1}
            else _shift_fwd(pre, 1, neg, col2))
-    return jnp.maximum(v, _onehot_dot(pre, expm))
+    back = jnp.broadcast_to(pre[:, :, None], (R, nb2, _LB)) \
+        .reshape(R, nb2 * _LB)[:, :n]
+    return jnp.maximum(v, back)
 
 
 def _select_from_samples(full, tq, fs, blk, qb):
@@ -172,7 +178,7 @@ def _select_from_samples(full, tq, fs, blk, qb):
     return y0 + (y1 - y0) / jnp.where(dx == 0, one, dx) * (tq - x0)
 
 
-def _event_kernel(x_ref, extf_ref, extr_ref, expm_ref, oh_ref, tq_ref,
+def _event_kernel(x_ref, oh_ref, tq_ref,
                   out_ref, m_ref, *, fs, nB, adv, advp):
     """The full event engine for a (blk, n) signal tile: 9 edge chains, then
     per frame-block one-hot sampling + interval interp, all in VMEM.  Each
@@ -192,14 +198,17 @@ def _event_kernel(x_ref, extf_ref, extr_ref, expm_ref, oh_ref, tq_ref,
     den = x_next - x
     fine = col1 - x / jnp.where(den == 0, jnp.ones((), dtype), den)
 
-    extf = extf_ref[:]
-    extr = extr_ref[:]
-    expm = expm_ref[:]
-    col2 = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], extf.shape[1]), 1)
+    # cross-block array width: pad up to a 128-lane multiple once it spans
+    # more than one vreg — Mosaic compiles rolls on odd multi-vreg widths
+    # pathologically slowly (the r4 "_LB < 512 crash"); the pad blocks are
+    # neg-filled so they never perturb real lanes
+    nb2 = -(-x.shape[1] // _LB)
+    if nb2 > 128:
+        nb2 = -(-nb2 // 128) * 128
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], nb2), 1)
 
     def cmx(v, reverse=False):
-        return _cummax_2l(v, neg, col, col2, extr if reverse else extf,
-                          expm, reverse=reverse)
+        return _cummax_2l(v, neg, col, col2, reverse=reverse)
 
     cur = cmx(jnp.where(mask, fine, neg))
     prev_chain = [cur]
@@ -251,7 +260,7 @@ def _selection_matrix(pnum, qden, Q, QB, adv, advp):
     return oh
 
 
-def _vmem_estimate(blk, n, nB, advp, nb2, qb):
+def _vmem_estimate(blk, n, nB, advp, qb):
     """Conservative fused-kernel VMEM footprint (bytes): dense per-row
     arrays + packed chains + the full bf16 selection matrix + per-block
     sampling/selection temporaries."""
@@ -260,17 +269,35 @@ def _vmem_estimate(blk, n, nB, advp, nb2, qb):
     oh = nB * advp * 2 * qb * 2
     outblk = 2 * nB * blk * qb * 4
     samp = 8 * _NCH * blk * 2 * qb * 4
-    mats = 3 * n * nb2 * 2
-    return dense + packed + oh + outblk + samp + mats
+    return dense + packed + oh + outblk + samp
 
 
-def _pick_blk(n, nB, advp, nb2, qb):
+def _pick_blk(n, nB, advp, qb):
     """Largest tile height whose footprint fits v5e's 128M VMEM (with
     headroom); None -> caller should use the XLA path."""
     for blk in (16, 8):
-        if _vmem_estimate(blk, n, nB, advp, nb2, qb) <= 115 * 2 ** 20:
+        if _vmem_estimate(blk, n, nB, advp, qb) <= 115 * 2 ** 20:
             return blk
     return None
+
+
+_QBT = int(os.environ.get("WORLD_TPU_EVENT_QBT", "64"))
+
+
+def _qb_params(pnum, qden, Q):
+    """Sampling-block geometry.  QB must be a multiple of qden so every
+    block advances by an integral adv samples; the one-hot matmul's flop
+    count is ~ Q * stride * QB (the window K-dim advp grows with QB), so
+    QB is kept near _QBT rather than maximized — 2*QB >= 128 keeps the MXU
+    N-dim full.  Changing QB is bitwise-neutral: each output column picks
+    exactly one window entry per chain (plus exact zeros), so block
+    geometry never perturbs a sampled value."""
+    QB = qden * max(1, -(-_QBT // qden))
+    adv = (QB * pnum) // qden
+    nB = -(-Q // QB)
+    width = ((QB - 1) * pnum) // qden + 4   # > max one-hot row index + 1
+    advp = -(-width // 128) * 128
+    return QB, adv, nB, advp
 
 
 @partial(jax.jit, static_argnames=("fs", "pnum", "qden", "Q", "blk",
@@ -284,28 +311,7 @@ def _interval_interp_pallas(x, tq, fs, pnum, qden, Q, blk=_BLK,
         x = jnp.pad(x, ((0, pad), (0, 0)))
     Sp = S + pad
 
-    # QB a multiple of qden => consecutive QB-frame blocks advance by exactly
-    # adv samples; each block reads a width-advp 128-aligned chain window
-    QB = qden * max(1, -(-128 // qden))
-    adv = (QB * pnum) // qden
-    nB = -(-Q // QB)
-    width = ((QB - 1) * pnum) // qden + 4   # > max one-hot row index + 1
-    advp = -(-width // 128) * 128
-
-    # two-level cummax helper matrices (bf16 one-hots, exact in the split
-    # dots): block-end / block-start extraction and block-membership expand
-    nb2 = -(-n // _LB)
-    ends = np.minimum(np.arange(nb2) * _LB + _LB - 1, n - 1)
-    extf_np = np.zeros((n, nb2), np.float32)
-    extf_np[ends, np.arange(nb2)] = 1.0
-    extr_np = np.zeros((n, nb2), np.float32)
-    extr_np[np.arange(nb2) * _LB, np.arange(nb2)] = 1.0
-    expm_np = np.zeros((nb2, n), np.float32)
-    expm_np[np.minimum(np.arange(n) // _LB, nb2 - 1), np.arange(n)] = 1.0
-    mdtype = jnp.bfloat16 if dtype == jnp.float32 else dtype
-    extf = jnp.asarray(extf_np, mdtype)
-    extr = jnp.asarray(extr_np, mdtype)
-    expm = jnp.asarray(expm_np, mdtype)
+    QB, adv, nB, advp = _qb_params(pnum, qden, Q)
 
     mdt = jnp.bfloat16 if dtype == jnp.float32 else dtype
     oh = jnp.asarray(_selection_matrix(pnum, qden, Q, QB, adv, advp),
@@ -320,9 +326,6 @@ def _interval_interp_pallas(x, tq, fs, pnum, qden, Q, blk=_BLK,
         grid=(Sp // blk,),
         in_specs=[
             pl.BlockSpec((blk, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, nb2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, nb2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb2, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nB, advp, 2 * QB), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nB, 8, QB), lambda i: (0, 0, 0),
@@ -339,7 +342,7 @@ def _interval_interp_pallas(x, tq, fs, pnum, qden, Q, blk=_BLK,
         # scoped-vmem budget; v5e has 128M of VMEM
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2 ** 20),
         interpret=interpret,
-    )(x, extf, extr, expm, oh, tq_b)
+    )(x, oh, tq_b)
 
     out = sampled.transpose(1, 0, 2).reshape(Sp, nB * QB)[:S, :Q]
     return out, m[:S, 0]
@@ -354,11 +357,8 @@ def interval_interp(signals, fs, t_frames, stride_samples: float):
         pnum, qden = int(frac.numerator), int(frac.denominator)
         Q = int(t_frames.shape[0])
         n = int(signals.shape[1])
-        QB = qden * max(1, -(-128 // qden))
-        nB = -(-Q // QB)
-        width = ((QB - 1) * pnum) // qden + 4
-        advp = -(-width // 128) * 128
-        blk = _pick_blk(n, nB, advp, -(-n // _LB), QB)
+        QB, _, nB, advp = _qb_params(pnum, qden, Q)
+        blk = _pick_blk(n, nB, advp, QB)
         if blk is not None:
             return _interval_interp_pallas(signals, t_frames, float(fs),
                                            pnum, qden, Q, blk=blk)
