@@ -23,8 +23,9 @@ import jax.numpy as jnp
 
 
 def main():
-    print("fft precision:",
-          os.environ.get("WORLD_TPU_FFT_PRECISION", "highest"), flush=True)
+    from world_tpu.dsp.fftmm import _DMAX, _PH
+
+    print(f"fft precision: {_PH}  direct-DFT max n: {_DMAX}", flush=True)
 
     # --- 1: extraction exactness ---------------------------------------
     from world_tpu.frames import uniform_frames

@@ -45,6 +45,42 @@ _PH = {"highest": jax.lax.Precision.HIGHEST,
     _os.environ.get("WORLD_TPU_FFT_PRECISION", "high")]
 
 
+# Below this size the DFT runs as ONE direct (n x n) basis matmul instead
+# of the two-stage Cooley-Tukey split.  CT minimizes flops, but its stages
+# contract over K = n1/n2 ~ sqrt(n) (32-64 lanes for the 1-8k sizes used
+# here) — ~25% MXU utilization, tripled again by the HIGH-precision passes;
+# the direct form contracts over K = n with MXU-perfect shapes, so despite
+# ~20x the nominal flops it is several times faster on device AND one
+# rounding stage more accurate.  Sizes beyond the threshold (only the
+# one-off SmoothF0 contour kernel at 8-16k) keep the CT path.
+_DMAX = int(_os.environ.get("WORLD_TPU_FFT_DIRECT_MAX", "4096"))
+
+
+@lru_cache(maxsize=None)
+def _direct_bases(n: int):
+    """Host-f64 DFT bases: cos/sin of -2*pi*t*k/n, (n, n) each."""
+    th = np.outer(np.arange(n, dtype=np.float64),
+                  np.arange(n, dtype=np.float64)) * (-2.0 * np.pi / n)
+    return np.cos(th), np.sin(th)
+
+
+def _dft_core(xr, xi, n, inverse=False, ncols=None):
+    """Direct one-matmul n-point DFT; same contract as _ct_core, plus
+    ``ncols`` to compute only the first ncols bins (rfft)."""
+    cosb, sinb = _direct_bases(n)
+    if ncols is not None:
+        cosb, sinb = cosb[:, :ncols], sinb[:, :ncols]
+    dtype = xr.dtype
+    c = jnp.asarray(cosb, dtype)
+    s = jnp.asarray(-sinb if inverse else sinb, dtype)
+    cr = jnp.einsum("...a,ak->...k", xr, c, precision=_PH)
+    ci = jnp.einsum("...a,ak->...k", xr, s, precision=_PH)
+    if xi is not None:
+        cr = cr - jnp.einsum("...a,ak->...k", xi, s, precision=_PH)
+        ci = ci + jnp.einsum("...a,ak->...k", xi, c, precision=_PH)
+    return cr, ci
+
+
 @lru_cache(maxsize=None)
 def _plan(n: int):
     """(n1, n2) with n = n1*n2, both near sqrt(n) (powers of two)."""
@@ -99,6 +135,16 @@ def _ct_core(xr, xi, n, inverse=False):
     return cr.reshape(lead + (n,)), ci.reshape(lead + (n,))
 
 
+def _core(xr, xi, n, inverse=False, ncols=None):
+    """Size dispatch: direct basis matmul up to _DMAX, Cooley-Tukey above."""
+    if n <= _DMAX:
+        return _dft_core(xr, xi, n, inverse=inverse, ncols=ncols)
+    cr, ci = _ct_core(xr, xi, n, inverse=inverse)
+    if ncols is not None:
+        cr, ci = cr[..., :ncols], ci[..., :ncols]
+    return cr, ci
+
+
 def rfft(x, n: int = None, force_mm: bool = None):
     """Drop-in jnp.fft.rfft(x, n, axis=-1); matmul path on TPU."""
     if n is None:
@@ -108,8 +154,8 @@ def rfft(x, n: int = None, force_mm: bool = None):
         return jnp.fft.rfft(x, n, axis=-1)
     if x.shape[-1] < n:
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])])
-    re, im = _ct_core(x[..., :n], None, n)
-    return jax.lax.complex(re[..., : n // 2 + 1], im[..., : n // 2 + 1])
+    re, im = _core(x[..., :n], None, n, ncols=n // 2 + 1)
+    return jax.lax.complex(re, im)
 
 
 def irfft(X, n: int, force_mm: bool = None):
@@ -124,7 +170,7 @@ def irfft(X, n: int, force_mm: bool = None):
     tail = slice(n // 2 - 1, 0, -1)
     re_f = jnp.concatenate([re, re[..., tail]], axis=-1)
     im_f = jnp.concatenate([im, -im[..., tail]], axis=-1)
-    out_re, _ = _ct_core(re_f, im_f, n, inverse=True)
+    out_re, _ = _core(re_f, im_f, n, inverse=True)
     return out_re / n
 
 
@@ -139,9 +185,9 @@ def fft(x, n: int = None, force_mm: bool = None):
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])])
     x = x[..., :n]
     if jnp.iscomplexobj(x):
-        re, im = _ct_core(jnp.real(x), jnp.imag(x), n)
+        re, im = _core(jnp.real(x), jnp.imag(x), n)
     else:
-        re, im = _ct_core(x, None, n)
+        re, im = _core(x, None, n)
     return jax.lax.complex(re, im)
 
 
@@ -155,5 +201,5 @@ def ifft(X, n: int = None, force_mm: bool = None):
     if X.shape[-1] < n:
         X = jnp.pad(X, [(0, 0)] * (X.ndim - 1) + [(0, n - X.shape[-1])])
     X = X[..., :n]
-    re, im = _ct_core(jnp.real(X), jnp.imag(X), n, inverse=True)
+    re, im = _core(jnp.real(X), jnp.imag(X), n, inverse=True)
     return jax.lax.complex(re / n, im / n)
